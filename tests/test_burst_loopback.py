@@ -14,18 +14,47 @@ from tetra_tpu.ops import scramble
 from tests.conftest import arr
 
 
+# The reference's put_phase_adj_bits (tetra_burst.c:162) indexes its
+# phase2bits table without the PHASE()+3 offset — undefined behaviour for
+# negative adjustments, so the golden bytes at the 4 phase-adjustment bit
+# positions are linker-dependent garbage. We emit the spec-intended symbol
+# instead and exclude those positions (never read by any rx path) here.
+_PHASE_ADJ_POSITIONS = [12, 13, 498, 499]
+
+
+def _mask_phase_adj(burst):
+    out = np.asarray(burst).copy()
+    out[_PHASE_ADJ_POSITIONS] = 0
+    return out
+
+
 class TestBurstGolden:
     def test_sync_burst(self, golden):
         e = golden["burst_sync"]
         out = burst_mod.build_sync_c_d_burst(arr(e, "sb"), arr(e, "bb"), arr(e, "bkn"))
-        np.testing.assert_array_equal(out, arr(e, "burst"))
+        np.testing.assert_array_equal(_mask_phase_adj(out), _mask_phase_adj(arr(e, "burst")))
 
     def test_norm_burst(self, golden):
         for name, two in (("burst_norm0", False), ("burst_norm1", True)):
             e = golden[name]
             out = burst_mod.build_norm_c_d_burst(
                 arr(e, "bkn1"), arr(e, "bb"), arr(e, "bkn2"), two)
-            np.testing.assert_array_equal(out, arr(e, "burst"))
+            np.testing.assert_array_equal(_mask_phase_adj(out), _mask_phase_adj(arr(e, "burst")))
+
+    def test_phase_adj_intent(self, golden):
+        """The emitted adjustment symbol must cancel the windowed phase sum
+        (the standard's intent for hc/hd: total ≡ 0 mod 8 quarter-turns)."""
+        e = golden["burst_sync"]
+        out = burst_mod.build_sync_c_d_burst(arr(e, "sb"), arr(e, "bb"), arr(e, "bkn"))
+        for which, pos in (("HC", 12), ("HD", 498)):
+            n1, n2 = C.PHASE_ADJ_N[which]
+            seg = out[2 * (n1 - 1): 2 * (n1 - 1) + 2 * (1 + n2 - n1)]
+            adj_sym = C.BITS2PHASE[(int(out[pos]), int(out[pos + 1]))]
+            # adjustment phase (as transmitted, PHASE2BITS map) + window sum ≡ 0 (mod 8)
+            adj = burst_mod.calc_phase_adj(burst_mod.sum_up_phase(seg))
+            assert (int(np.fmod(burst_mod.sum_up_phase(seg) + adj, 8))) % 8 == 0
+            assert C.PHASE2BITS[adj] == (int(out[pos]), int(out[pos + 1]))
+            del adj_sym
 
     def test_split_sync_burst(self, golden):
         e = golden["burst_sync"]

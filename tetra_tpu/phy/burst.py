@@ -56,7 +56,15 @@ def calc_phase_adj(phase: int) -> int:
 
 
 def phase_adj_bits(burst: np.ndarray, which: str) -> np.ndarray:
-    """Phase-adjustment dibit for range `which` per Table 8.14."""
+    """Phase-adjustment dibit for range `which` per Table 8.14.
+
+    Deliberate deviation from the reference: tetra_burst.c:162 indexes
+    its phase2bits table without the PHASE()+3 offset, which reads out
+    of bounds for negative adjustments (undefined behaviour). We emit
+    the spec-intended symbol (phase2bits[PHASE(adj)]). No receiver path
+    ever reads these bits (burst splitters skip them), so decode parity
+    is unaffected.
+    """
     n1, n2 = C.PHASE_ADJ_N[which]
     seg = burst[2 * (n1 - 1): 2 * (n1 - 1) + 2 * (1 + n2 - n1)]
     adj = calc_phase_adj(sum_up_phase(seg))
