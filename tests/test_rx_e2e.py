@@ -1,0 +1,134 @@
+"""End-to-end receiver test: synthetic downlink capture -> decoded PDUs.
+
+The synthetic stream mirrors what a real cell transmits: periodic sync
+bursts (SYNC + SYSINFO) interleaved with SCH/F bursts carrying
+MAC-RESOURCE PDUs, preceded by noise. This is the analogue of the
+reference's golden-file runs of tetra-rx (tetra-rx-tests.sh).
+"""
+import numpy as np
+import pytest
+
+from tetra_tpu import constants as C, tx, testpdu
+from tetra_tpu.ops.scramble import scramb_get_init
+from tetra_tpu.rx import TetraReceiver
+import jax.numpy as jnp
+
+MCC, MNC, CC = 262, 42, 1
+INIT = scramb_get_init(MCC, MNC, CC)
+
+
+def build_capture(n_frames=3, noise_prefix=137, seed=0):
+    """noise + [sync burst, schf, schf, schf] * n_frames."""
+    rng = np.random.default_rng(seed)
+    stream = [rng.integers(0, 2, size=noise_prefix).astype(np.uint8)]
+    expected_ssis = []
+    fn = 1
+    for f in range(n_frames):
+        sync = testpdu.make_sync_pdu(cc=CC, tn=1, fn=fn, mn=1, mcc=MCC, mnc=MNC)
+        sysinfo = testpdu.make_sysinfo_pdu()
+        aach = testpdu.make_access_assign_bits()
+        stream.append(tx.make_sync_burst(sync, sysinfo, aach, jnp.uint32(INIT)))
+        for tn in (2, 3, 4):
+            ssi = 0x100 + f * 4 + tn
+            sdu = testpdu.make_bl_udata(testpdu.make_mle_cmce_dsetup())
+            schf = testpdu.make_resource_pdu(ssi=ssi, sdu_bits=sdu)
+            stream.append(tx.make_schf_burst(schf, aach, jnp.uint32(INIT)))
+            expected_ssis.append(ssi)
+        fn += 1
+    return np.concatenate(stream), expected_ssis
+
+
+class TestRxE2E:
+    @pytest.fixture(scope="class")
+    def rx_run(self):
+        bits, expected_ssis = build_capture()
+        lines = []
+        rx = TetraReceiver(log=lambda *a: lines.append(" ".join(str(x) for x in a)))
+        stats = rx.process_bits(bits)
+        return rx, stats, lines, expected_ssis
+
+    def test_sync_acquired(self, rx_run):
+        rx, stats, lines, _ = rx_run
+        assert any("found SYNC training sequence" in ln for ln in lines)
+        assert rx.mcc == MCC and rx.mnc == MNC and rx.colour_code == CC
+        assert rx.scramb_init == INIT
+
+    def test_crc_ok_counts(self, rx_run):
+        rx, stats, lines, _ = rx_run
+        # first sync burst is used for alignment only (reference skips it);
+        # 3 frames * 4 bursts - 1 = 11 decoded bursts
+        assert stats.bursts == 11
+        # like the reference, frame 1's three SCH/F bursts decode before any
+        # SB1 has revealed the cell scrambling code (tcd->scramb_init still
+        # 0, tetra_lower_mac.c:183) -> 3 CRC-wrong; the remaining 10 blocks
+        # (2x SB1+SB2, 6x SCH/F) are CRC-OK
+        assert stats.crc_wrong == 3
+        assert stats.crc_ok == 10
+
+    def test_sysinfo_decoded(self, rx_run):
+        rx, stats, lines, _ = rx_run
+        sysinfos = [e for e in rx.umac.events if e[0] == "SYSINFO"]
+        assert len(sysinfos) == 2
+        sid = sysinfos[0][1]
+        assert sid.main_carrier == 3710
+        assert sid.freq_band == 3
+        assert sid.mle_si.la == 1234
+        assert sid.mle_si.bs_service_details == 0x865
+        # crypto state followed SYSINFO (tetra_upper_mac.c:119-131)
+        assert rx.tcs.la == 1234
+        assert rx.tcs.cn == 3710
+
+    def test_resources_decoded(self, rx_run):
+        rx, stats, lines, expected_ssis = rx_run
+        resources = [e[1] for e in rx.umac.events if e[0] == "RESOURCE"]
+        got_ssis = [r.addr.ssi for r in resources if r.addr.type == 1]
+        # frame 1's SCH/F bursts fail CRC pre-sync (see test_crc_ok_counts),
+        # so only frames 2-3 deliver MAC-RESOURCE PDUs
+        assert got_ssis == expected_ssis[3:]
+        # LLC + MLE saw the payload: CMCE D-SETUP lines logged
+        assert sum("TM-SDU(BL-UDATA)" in ln for ln in lines) == len(got_ssis)
+        assert sum("D-SETUP" in ln for ln in lines) == len(got_ssis)
+
+    def test_aach_decoded(self, rx_run):
+        rx, stats, lines, _ = rx_run
+        aachs = [e for e in rx.umac.events if e[0] == "AACH"]
+        assert len(aachs) == 11
+        assert rx.umac.cur_burst_is_traffic == 0
+
+    def test_tdma_time_tracking(self, rx_run):
+        rx, stats, lines, _ = rx_run
+        # time was set from SYNC PDU (fn=1 at first decoded sync burst,
+        # which declares tn=1) and advanced by one tn per burst
+        assert any("TMB-SAP SYNC CC" in ln for ln in lines)
+        # last decoded burst: fn3 slot4 variant
+        assert rx.time.tn == 4
+
+
+class TestRxTraffic:
+    def test_traffic_dump(self, tmp_path):
+        """AACH signalling traffic routes SCH/F payload to the dump file
+        (reference tetra_lower_mac.c:198-241)."""
+        rng = np.random.default_rng(5)
+        stream = [rng.integers(0, 2, size=91).astype(np.uint8)]
+        sync = testpdu.make_sync_pdu(cc=CC, tn=1, fn=1, mn=1, mcc=MCC, mnc=MNC)
+        sysinfo = testpdu.make_sysinfo_pdu()
+        aach_ctrl = testpdu.make_access_assign_bits()
+        # DLF1/ULF1 header (3) with dl_usage 5 (traffic usage marker)
+        aach_traffic = testpdu.make_access_assign_bits(hdr=3, f1=5, f2=0)
+        stream.append(tx.make_sync_burst(sync, sysinfo, aach_ctrl, jnp.uint32(INIT)))
+        stream.append(tx.make_sync_burst(sync, sysinfo, aach_ctrl, jnp.uint32(INIT)))
+        voice = rng.integers(0, 2, size=268).astype(np.int8)
+        stream.append(tx.make_schf_burst(voice, aach_traffic, jnp.uint32(INIT)))
+        bits = np.concatenate(stream)
+
+        rx = TetraReceiver(dumpdir=str(tmp_path), log=lambda *a: None)
+        rx.process_bits(bits)
+        assert rx.umac.cur_burst_is_traffic == 5
+        dumps = list(tmp_path.glob("traffic_5_*.out"))
+        assert len(dumps) == 1
+        blk = np.fromfile(dumps[0], dtype=np.int16)
+        assert len(blk) == 690
+        # sync markers present (tetra_lower_mac.c:217-219)
+        for i in range(6):
+            assert blk[115 * i] == 0x6B21 + i
+        assert set(np.unique(blk[1:115])) <= {-127, 127}

@@ -1,0 +1,111 @@
+"""Device-mesh sharding for multi-carrier / multi-chip operation.
+
+The reference scales by running one OS process per carrier glued with
+FIFOs/UDP (reference src/receiver1:8, src/receiver1udp:71-78). Here the
+same scaling is a sharded tensor program (SURVEY.md §2.9/§7.1):
+
+- carriers   -> data-parallel axis, sharded over chips ("carrier")
+- time       -> sequence axis; the training-sequence correlator needs a
+  (seq_len-1)-bit halo at shard boundaries, exchanged with a ppermute
+  collective under shard_map — the direct analogue of ring/blockwise
+  context parallelism
+- bookkeeping (CRC counters) -> psum over the mesh
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from jax.experimental.shard_map import shard_map
+
+from tetra_tpu import constants as C
+from tetra_tpu.lmac import pipeline as lmac
+from tetra_tpu.phy import burst as burst_mod
+
+__all__ = ["make_mesh", "sharded_burst_decode", "sharded_match_map",
+           "MAX_TRAIN_LEN"]
+
+MAX_TRAIN_LEN = 38  # longest training sequence (y, 38 bits)
+
+
+def make_mesh(devices=None, axis_name: str = "carrier") -> Mesh:
+    """1-D mesh over all (or given) devices, carriers sharded across it."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def sharded_burst_decode(mesh: Mesh, axis: str = "carrier"):
+    """Jitted multi-carrier slot decoder.
+
+    fn(bursts [C, S, 510] int8, inits [C] uint32, kinds [C, S] int32)
+    -> dict of decoded blocks + global CRC-OK count (psum over chips).
+
+    kinds: 0 = sync burst, 1 = SCH/F normal burst (decode paths are both
+    evaluated and selected — redundant compute instead of divergent
+    control flow, SURVEY.md §7.3).
+    """
+    spec_b = P(axis, None, None)
+    spec_i = P(axis)
+    spec_k = P(axis, None)
+
+    def step(bursts, inits, kinds):
+        inits_b = inits[:, None].astype(jnp.uint32)
+        sync = lmac.decode_sync_burst(bursts, inits_b)
+        schf = lmac.decode_schf_burst(bursts, inits_b)
+        is_sync = (kinds == 0)
+        crc_ok = jnp.where(is_sync,
+                           sync["SB1"].crc_ok & sync["SB2"].crc_ok,
+                           schf["SCH_F"].crc_ok)
+        total_ok = jax.lax.psum(jnp.sum(crc_ok.astype(jnp.int32)), axis)
+        return {
+            "sb1_type1": sync["SB1"].type1, "sb1_ok": sync["SB1"].crc_ok,
+            "sb2_type1": sync["SB2"].type1, "sb2_ok": sync["SB2"].crc_ok,
+            "bbk_type1": sync["BBK"].type1,
+            "schf_type1": schf["SCH_F"].type1, "schf_ok": schf["SCH_F"].crc_ok,
+            "crc_ok_total": total_ok,
+        }
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(spec_b, spec_i, spec_k),
+        out_specs={
+            "sb1_type1": spec_b, "sb1_ok": spec_k,
+            "sb2_type1": spec_b, "sb2_ok": spec_k,
+            "bbk_type1": spec_b,
+            "schf_type1": spec_b, "schf_ok": spec_k,
+            "crc_ok_total": P(),
+        },
+        check_rep=False)
+    return jax.jit(sharded)
+
+
+def sharded_match_map(mesh: Mesh, axis: str = "time"):
+    """Jitted training-sequence correlation with halo exchange.
+
+    fn(bits [C, T] int8) -> match [C, T, 5] bool, with T sharded over
+    `axis`. Each shard fetches MAX_TRAIN_LEN-1 bits from its right
+    neighbour via ppermute so windows spanning the boundary are exact —
+    overlap-save, the sequence-parallel halo pattern (SURVEY.md §5).
+    """
+    n = mesh.shape[axis]
+
+    def step(bits):
+        # bits: local shard [C, T/n]
+        halo_src = bits[:, : MAX_TRAIN_LEN - 1]
+        # receive the *next* shard's head: shift left around the ring
+        perm = [(i, (i - 1) % n) for i in range(n)]
+        halo = jax.lax.ppermute(halo_src, axis, perm)
+        ext = jnp.concatenate([bits, halo], axis=-1)
+        m = burst_mod.train_seq_match(ext)
+        # windows that would use wrapped halo on the last shard are
+        # masked by the caller via absolute position; keep local T size
+        return m[:, : bits.shape[-1], :]
+
+    sharded = shard_map(step, mesh=mesh,
+                        in_specs=P(None, axis),
+                        out_specs=P(None, axis, None),
+                        check_rep=False)
+    return jax.jit(sharded)

@@ -1,0 +1,152 @@
+"""pi/4-DQPSK modem + slicer (the demod front-end, L0/L0.5).
+
+Reference behaviour: src/demod/cqpsk.py (GNU Radio: AGC -> RRC ->
+mpsk_receiver with Costas + Mueller&Müller feedback loops ->
+diff_phasor -> arg -> rescale) and src/float_to_bits.c (float phase
+symbols -> hard dibits, optional one-pole pseudo-AFC).
+
+TPU design (SURVEY.md §7.1): feedback loops don't vectorise, so the
+demodulator is feed-forward — matched RRC filter, differential phasor
+over one-symbol lag, per-chunk timing-phase selection by the pi/4-DQPSK
+decision metric (|sin 2θ| is maximal at the optimum sampling instant),
+coarse CFO as a mean phase-drift estimate subtracted per symbol. All
+stages are batched convolutions/elementwise ops over [carriers, time].
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "rrc_taps", "modulate", "demodulate", "float_to_bits", "phase_to_bits",
+    "bits_to_phase",
+]
+
+# dibit -> phase step in units of pi/4 (reference float_to_bits.c:50-72,
+# inverse direction; mod map [1,3,7,5] in cqpsk.py:89-104 is equivalent)
+_BITS2STEP = {(0, 0): 1, (0, 1): 3, (1, 0): -1, (1, 1): -3}
+
+
+@functools.lru_cache(maxsize=8)
+def rrc_taps(sps: int, ntaps: int = None, alpha: float = 0.35) -> np.ndarray:
+    """Root-raised-cosine filter taps (gain-normalised), matching the
+    GNU Radio firdes.root_raised_cosine parameterisation used at
+    cqpsk.py:244-249 (11*sps taps, alpha=0.35)."""
+    if ntaps is None:
+        ntaps = 11 * sps
+    t = (np.arange(ntaps) - (ntaps - 1) / 2.0) / sps
+    taps = np.zeros(ntaps)
+    for i, x in enumerate(t):
+        if abs(x) < 1e-9:
+            taps[i] = 1.0 - alpha + 4 * alpha / np.pi
+        elif abs(abs(4 * alpha * x) - 1.0) < 1e-9:
+            taps[i] = (alpha / np.sqrt(2)) * (
+                (1 + 2 / np.pi) * np.sin(np.pi / (4 * alpha))
+                + (1 - 2 / np.pi) * np.cos(np.pi / (4 * alpha)))
+        else:
+            taps[i] = ((np.sin(np.pi * x * (1 - alpha))
+                        + 4 * alpha * x * np.cos(np.pi * x * (1 + alpha)))
+                       / (np.pi * x * (1 - (4 * alpha * x) ** 2)))
+    return (taps / np.sum(taps)).astype(np.float32)
+
+
+def bits_to_phase(bits) -> np.ndarray:
+    """ubits [..., 2n] -> cumulative phase steps (pi/4 units) [..., n]."""
+    bits = np.asarray(bits).reshape(*np.asarray(bits).shape[:-1], -1, 2)
+    steps = np.zeros(bits.shape[:-1], dtype=np.int32)
+    for (b0, b1), v in _BITS2STEP.items():
+        steps = np.where((bits[..., 0] == b0) & (bits[..., 1] == b1), v, steps)
+    return steps
+
+
+def modulate(bits, sps: int = 2, ntaps: int | None = None) -> np.ndarray:
+    """ubits [..., 2n] -> complex baseband [..., n*sps] (host fixture gen).
+
+    pi/4-DQPSK: phase accumulates by the dibit step each symbol; pulse
+    shaping with the RRC filter (cqpsk.py:89-120 equivalent).
+    """
+    steps = bits_to_phase(bits)
+    phase = np.cumsum(steps, axis=-1) * (np.pi / 4.0)
+    symbols = np.exp(1j * phase).astype(np.complex64)
+    up = np.zeros(symbols.shape[:-1] + (symbols.shape[-1] * sps,), np.complex64)
+    up[..., ::sps] = symbols
+    taps = rrc_taps(sps, ntaps)
+    out = np.apply_along_axis(lambda r: np.convolve(r, taps * sps, mode="same"),
+                              -1, up)
+    return out.astype(np.complex64)
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "est_cfo"))
+def demodulate(iq, sps: int = 2, est_cfo: bool = True):
+    """Complex baseband [..., T] -> float phase symbols [..., T//sps].
+
+    Output units match the reference chain's float stream (phase deltas
+    in pi/4 units, ±1/±3) so it feeds float_to_bits directly.
+    """
+    taps = jnp.asarray(rrc_taps(sps))
+    # matched filter along time (batched 1D convolution)
+    pad = len(taps) // 2
+    iqp = jnp.pad(iq, [(0, 0)] * (iq.ndim - 1) + [(pad, pad)])
+    kernel = taps[::-1]
+    windows_idx = jnp.arange(iq.shape[-1])[:, None] + jnp.arange(len(taps))[None, :]
+    filt = jnp.einsum("...tw,w->...t", iqp[..., windows_idx], kernel)
+
+    # differential phasor at one-symbol lag for every sample
+    diff = filt[..., sps:] * jnp.conj(filt[..., :-sps])
+    theta = jnp.angle(diff)
+
+    # timing: per chunk, pick the sample phase maximising |sin(2θ)|
+    n = (theta.shape[-1] // sps) * sps
+    th = theta[..., :n].reshape(*theta.shape[:-1], n // sps, sps)
+    score = jnp.mean(jnp.abs(jnp.sin(2.0 * th)), axis=-2)       # [..., sps]
+    best = jnp.argmax(score, axis=-1)                           # [...]
+    sym_theta = jnp.take_along_axis(
+        th, best[..., None, None].astype(jnp.int32), axis=-1)[..., 0]
+
+    if est_cfo:
+        # coarse CFO: mean deviation from the nearest odd multiple of pi/4
+        quant = jnp.round((sym_theta / (jnp.pi / 4.0) - 1.0) / 2.0) * 2.0 + 1.0
+        err = sym_theta - quant * (jnp.pi / 4.0)
+        sym_theta = sym_theta - jnp.mean(err, axis=-1, keepdims=True)
+
+    return sym_theta / (jnp.pi / 4.0)
+
+
+@jax.jit
+def float_to_bits(symbols):
+    """Float phase symbols [..., n] -> hard ubits [..., 2n].
+
+    Thresholds and dibit map from reference src/float_to_bits.c:33-72:
+    >2 -> +3 -> (0,1); >0 -> +1 -> (0,0); <-2 -> -3 -> (1,1); else -1 -> (1,0).
+    """
+    s = symbols
+    b0 = (s <= 0).astype(jnp.int8)
+    b1 = ((s > 2) | ((s < -2))).astype(jnp.int8)
+    return jnp.stack([b0, b1], axis=-1).reshape(*s.shape[:-1], s.shape[-1] * 2)
+
+
+def phase_to_bits(symbols, afc: bool = False, filter_val: float = 1e-4,
+                  filter_goal: float = 0.0) -> np.ndarray:
+    """Host slicer with the optional one-pole pseudo-AFC
+    (reference float_to_bits.c:142-149). Sequential by nature; used for
+    file-based parity runs."""
+    out = np.zeros(len(symbols) * 2, dtype=np.uint8)
+    filt = 0.0
+    for i, fl in enumerate(np.asarray(symbols, dtype=np.float32)):
+        if afc:
+            if -5.0 < fl < 5.0:
+                filt = filt * (1.0 - filter_val) + (fl - filter_goal) * filter_val
+            fl = fl - filt
+        if fl > 2:
+            d = (0, 1)
+        elif fl > 0:
+            d = (0, 0)
+        elif fl < -2:
+            d = (1, 1)
+        else:
+            d = (1, 0)
+        out[2 * i], out[2 * i + 1] = d
+    return out
