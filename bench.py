@@ -33,8 +33,13 @@ def main():
     rng = np.random.default_rng(0)
     schf = rng.integers(0, 2, size=(B, 268)).astype(np.int8)
     aach = rng.integers(0, 2, size=(B, 14)).astype(np.int8)
-    t5 = np.asarray(tx.encode_block("SCH_F", jnp.asarray(schf), jnp.uint32(init)))
-    bb = np.asarray(tx.encode_bbk(jnp.asarray(aach), jnp.uint32(init)))
+    # generate fixtures on the host CPU backend: the eager TX chain is many
+    # tiny ops, and compiling them as TPU executables both wastes time and
+    # degrades subsequent dispatch latency over the device tunnel
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        t5 = np.asarray(tx.encode_block("SCH_F", jnp.asarray(schf), jnp.uint32(init)))
+        bb = np.asarray(tx.encode_bbk(jnp.asarray(aach), jnp.uint32(init)))
     from tetra_tpu.phy.burst import build_norm_c_d_burst
     bursts = np.stack([build_norm_c_d_burst(t5[i, :216], bb[i], t5[i, 216:], False)
                        for i in range(min(B, 64))])

@@ -18,9 +18,22 @@ INIT = scramb_get_init(MCC, MNC, CC)
 
 
 def build_capture(n_frames=3, noise_prefix=137, seed=0):
-    """noise + [sync burst, schf, schf, schf] * n_frames."""
+    """noise + sacrificial sync burst + [sync, schf, schf, schf] * n_frames.
+
+    The synchroniser consumes the first sync burst for alignment only
+    (reference tetra_burst_sync.c:75-86), so an extra leading sync burst
+    makes every decoded slot follow a CRC-OK SB1 — the cell scrambling
+    code is known from the first decoded slot on, keeping the capture
+    deterministic (garbled pre-sync slots would otherwise feed garbage
+    AACH bits into the traffic-detection state, as they do in the
+    reference).
+    """
     rng = np.random.default_rng(seed)
     stream = [rng.integers(0, 2, size=noise_prefix).astype(np.uint8)]
+    stream.append(tx.make_sync_burst(
+        testpdu.make_sync_pdu(cc=CC, tn=4, fn=18, mn=60, mcc=MCC, mnc=MNC),
+        testpdu.make_sysinfo_pdu(), testpdu.make_access_assign_bits(),
+        jnp.uint32(INIT)))
     expected_ssis = []
     fn = 1
     for f in range(n_frames):
@@ -55,20 +68,16 @@ class TestRxE2E:
 
     def test_crc_ok_counts(self, rx_run):
         rx, stats, lines, _ = rx_run
-        # first sync burst is used for alignment only (reference skips it);
-        # 3 frames * 4 bursts - 1 = 11 decoded bursts
-        assert stats.bursts == 11
-        # like the reference, frame 1's three SCH/F bursts decode before any
-        # SB1 has revealed the cell scrambling code (tcd->scramb_init still
-        # 0, tetra_lower_mac.c:183) -> 3 CRC-wrong; the remaining 10 blocks
-        # (2x SB1+SB2, 6x SCH/F) are CRC-OK
-        assert stats.crc_wrong == 3
-        assert stats.crc_ok == 10
+        # sacrificial sync burst aligned-away; 3 frames * 4 bursts decoded
+        assert stats.bursts == 12
+        # every decoded FEC block is CRC-OK: 3x (SB1+SB2) + 9x SCH/F
+        assert stats.crc_wrong == 0
+        assert stats.crc_ok == 15
 
     def test_sysinfo_decoded(self, rx_run):
         rx, stats, lines, _ = rx_run
         sysinfos = [e for e in rx.umac.events if e[0] == "SYSINFO"]
-        assert len(sysinfos) == 2
+        assert len(sysinfos) == 3
         sid = sysinfos[0][1]
         assert sid.main_carrier == 3710
         assert sid.freq_band == 3
@@ -82,9 +91,7 @@ class TestRxE2E:
         rx, stats, lines, expected_ssis = rx_run
         resources = [e[1] for e in rx.umac.events if e[0] == "RESOURCE"]
         got_ssis = [r.addr.ssi for r in resources if r.addr.type == 1]
-        # frame 1's SCH/F bursts fail CRC pre-sync (see test_crc_ok_counts),
-        # so only frames 2-3 deliver MAC-RESOURCE PDUs
-        assert got_ssis == expected_ssis[3:]
+        assert got_ssis == expected_ssis
         # LLC + MLE saw the payload: CMCE D-SETUP lines logged
         assert sum("TM-SDU(BL-UDATA)" in ln for ln in lines) == len(got_ssis)
         assert sum("D-SETUP" in ln for ln in lines) == len(got_ssis)
@@ -92,7 +99,7 @@ class TestRxE2E:
     def test_aach_decoded(self, rx_run):
         rx, stats, lines, _ = rx_run
         aachs = [e for e in rx.umac.events if e[0] == "AACH"]
-        assert len(aachs) == 11
+        assert len(aachs) == 12
         assert rx.umac.cur_burst_is_traffic == 0
 
     def test_tdma_time_tracking(self, rx_run):

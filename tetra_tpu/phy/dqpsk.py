@@ -94,8 +94,11 @@ def demodulate(iq, sps: int = 2, est_cfo: bool = True):
     windows_idx = jnp.arange(iq.shape[-1])[:, None] + jnp.arange(len(taps))[None, :]
     filt = jnp.einsum("...tw,w->...t", iqp[..., windows_idx], kernel)
 
-    # differential phasor at one-symbol lag for every sample
-    diff = filt[..., sps:] * jnp.conj(filt[..., :-sps])
+    # differential phasor at one-symbol lag for every sample (zero-padded
+    # at the front so output keeps T//sps symbols; the first symbol is an
+    # edge artefact)
+    lagged = jnp.pad(filt, [(0, 0)] * (filt.ndim - 1) + [(sps, 0)])[..., :-sps]
+    diff = filt * jnp.conj(lagged)
     theta = jnp.angle(diff)
 
     # timing: per chunk, pick the sample phase maximising |sin(2θ)|

@@ -63,7 +63,9 @@ class TetraReceiver:
         self.tcs = CryptoState()
         if keystore_path:
             load_keystore(keystore_path, self.tcs.db)
-        self.llc = LlcState(log=self._log_inline)
+        from tetra_tpu.mle.mle import rx_tl_sdu
+        self.llc = LlcState(log=self._log_inline,
+                            tl_sdu_cb=lambda bits, n: rx_tl_sdu(bits, n, log=self.log))
         self.gsmtap = GsmtapSink(gsmtap_host) if gsmtap_host else None
         self.umac = UpperMac(self.tcs, self.llc,
                              gsmtap_cb=self._gsmtap_cb if self.gsmtap else None,
@@ -220,7 +222,7 @@ class TetraReceiver:
             from tetra_tpu.ops.scramble import scramb_bits
             from tetra_tpu.phy.burst import split_norm_burst
             _, b1, b2 = split_norm_burst(jnp.asarray(bursts))
-            t4_schf = np.asarray(scramb_bits(jnp.asarray(inits)[:, None],
+            t4_schf = np.asarray(scramb_bits(jnp.asarray(inits),
                                              jnp.concatenate([b1, b2], axis=-1)))
         if idx_ndb:
             bursts = np.stack([bits[slots[i].offset:slots[i].offset + 510] for i in idx_ndb])
@@ -228,7 +230,7 @@ class TetraReceiver:
             from tetra_tpu.ops.scramble import scramb_bits
             from tetra_tpu.phy.burst import split_norm_burst
             _, b1, b2 = split_norm_burst(jnp.asarray(bursts))
-            t4_ndb2 = np.asarray(scramb_bits(jnp.asarray(inits)[:, None], b2))
+            t4_ndb2 = np.asarray(scramb_bits(jnp.asarray(inits), b2))
 
         pos_in = {("SYNC", i): n for n, i in enumerate(idx_sync)}
         pos_in.update({("SCHF", i): n for n, i in enumerate(idx_schf)})
