@@ -5,11 +5,11 @@ semantics) but fused into one kernel: branch metrics, ACS forward pass
 and traceback all run in VMEM with the batch tiled over the grid, so
 per-block decisions never round-trip to HBM.
 
-Layout: states live in the lane dimension (16 of 128 lanes), batch in
+Layout: states live in the lane dimension (16 lanes of 128), batch in
 sublanes. Decisions for all T steps are kept in a VMEM scratch
 [T, TILE_B, 16]; traceback walks it backwards with a fori_loop using
-one-hot state selection (gathers are avoided — everything is dense
-masked arithmetic, which is what the VPU wants).
+one-hot state selection — gathers are avoided, everything is dense
+masked arithmetic/matmuls, which is what the VPU/MXU want.
 """
 from __future__ import annotations
 
@@ -29,28 +29,45 @@ __all__ = ["decode_pallas"]
 _NEG = np.float32(-1e9)
 
 
-def _make_kernel(n_sym: int, n_out: int, tile_b: int, generators):
-    signs = trellis_signs(tuple(map(tuple, generators)))  # [16, 2, N]
-    # per next-state branch sign row: sign for transition into state ns
-    # from predecessor p (p0 or p1) with input bit ns&1
-    s0 = np.stack([signs[_P0[ns], _BIT[ns]] for ns in range(16)])  # [16, N]
-    s1 = np.stack([signs[_P1[ns], _BIT[ns]] for ns in range(16)])  # [16, N]
+@functools.lru_cache(maxsize=4)
+def _tables(generators):
+    """Constant matrices driving ACS + traceback, packed as one array.
 
-    # selection matrices: metric_prev[p0[ns]] = metric_prev @ G0 (one-hot cols)
+    rows 0..3:   s0^T, s1^T padded to [16, N] -> stored [2, 16, N]
+    plus 16x16 selection/propagation matrices g0, g1, tb0, tb1.
+    Returned as (signs [2,16,N], sel [4,16,16], state_bits [16]).
+    """
+    signs = trellis_signs(generators)  # [16, 2, N]
+    n = signs.shape[-1]
+    s0 = np.stack([signs[_P0[ns], _BIT[ns]] for ns in range(16)])  # [16, N]
+    s1 = np.stack([signs[_P1[ns], _BIT[ns]] for ns in range(16)])
     g0 = np.zeros((16, 16), np.float32)
     g1 = np.zeros((16, 16), np.float32)
+    tb0 = np.zeros((16, 16), np.float32)
+    tb1 = np.zeros((16, 16), np.float32)
     for ns in range(16):
         g0[_P0[ns], ns] = 1.0
         g1[_P1[ns], ns] = 1.0
+        tb0[ns, _P0[ns]] = 1.0
+        tb1[ns, _P1[ns]] = 1.0
+    sgn = np.stack([s0, s1]).astype(np.float32)            # [2, 16, N]
+    sel = np.stack([g0, g1, tb0, tb1]).astype(np.float32)  # [4, 16, 16]
+    sbits = (np.arange(16) & 1).astype(np.float32)
+    return sgn, sel, sbits
 
-    def kernel(soft_ref, bits_ref, dec_ref, metric_ref):
-        # soft_ref: [TILE_B, n_sym * n_out]; bits_ref: [TILE_B, n_sym]
-        g0c = jnp.asarray(g0)
-        g1c = jnp.asarray(g1)
-        s0c = jnp.asarray(s0)  # [16, N]
-        s1c = jnp.asarray(s1)
 
-        metric_ref[:] = jnp.full((tile_b, 16), _NEG, jnp.float32).at[:, 0].set(0.0)
+def _make_kernel(n_sym: int, n_out: int, tile_b: int):
+    def kernel(soft_ref, sgn_ref, sel_ref, sbits_ref, bits_ref,
+               dec_ref, metric_ref):
+        s0c = sgn_ref[0]           # [16, N]
+        s1c = sgn_ref[1]
+        g0c = sel_ref[0]           # [16, 16]
+        g1c = sel_ref[1]
+        tb0c = sel_ref[2]
+        tb1c = sel_ref[3]
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_b, 16), 1)
+        metric_ref[:] = jnp.where(col == 0, 0.0, _NEG)
 
         def acs_step(t, _):
             sym = soft_ref[:, pl.ds(t * n_out, n_out)]          # [B, N]
@@ -60,7 +77,7 @@ def _make_kernel(n_sym: int, n_out: int, tile_b: int, generators):
             c0 = jnp.dot(m, g0c, preferred_element_type=jnp.float32) + bm0
             c1 = jnp.dot(m, g1c, preferred_element_type=jnp.float32) + bm1
             dec = c1 > c0
-            dec_ref[t, :, :] = dec
+            dec_ref[pl.ds(t, 1), :, :] = dec[None]
             metric_ref[:] = jnp.where(dec, c1, c0)
             return 0
 
@@ -74,23 +91,12 @@ def _make_kernel(n_sym: int, n_out: int, tile_b: int, generators):
         cum = jnp.cumsum(onehot0.astype(jnp.int32), axis=1)
         onehot = onehot0 & (cum == 1)                            # [B, 16]
 
-        state_bits = jnp.asarray(
-            (np.arange(16) & 1).astype(np.float32))              # [16]
-        # prev-state propagation matrices: prev = (s>>1) | took_p1*8
-        tb0 = np.zeros((16, 16), np.float32)
-        tb1 = np.zeros((16, 16), np.float32)
-        for ns in range(16):
-            tb0[ns, _P0[ns]] = 1.0
-            tb1[ns, _P1[ns]] = 1.0
-        tb0c = jnp.asarray(tb0)
-        tb1c = jnp.asarray(tb1)
-
         def tb_step(i, onehot):
             t = n_sym - 1 - i
-            bit = jnp.dot(onehot.astype(jnp.float32), state_bits,
+            bit = jnp.dot(onehot.astype(jnp.float32), sbits_ref[0],
                           preferred_element_type=jnp.float32)    # [B]
-            bits_ref[:, t] = bit.astype(jnp.int8)
-            took = dec_ref[t, :, :]                              # [B, 16]
+            bits_ref[:, pl.ds(t, 1)] = bit.astype(jnp.int8)[:, None]
+            took = dec_ref[pl.ds(t, 1), :, :][0]                 # [B, 16]
             sel1 = onehot & took
             sel0 = onehot & jnp.logical_not(took)
             prev = (jnp.dot(sel0.astype(jnp.float32), tb0c,
@@ -111,6 +117,7 @@ def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
 
     Drop-in replacement for viterbi.decode on 2-D batches.
     """
+    generators = tuple(map(tuple, generators))
     n_out = len(generators)
     B = soft.shape[0]
     soft = soft[:, : n_sym * n_out].astype(jnp.float32)
@@ -120,13 +127,21 @@ def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
         soft = jnp.pad(soft, ((0, pad), (0, 0)))
     Bp = soft.shape[0]
 
-    kernel = _make_kernel(n_sym, n_out, tile, generators)
+    sgn, sel, sbits = _tables(generators)
+    kernel = _make_kernel(n_sym, n_out, tile)
     out = pl.pallas_call(
         kernel,
         grid=(Bp // tile,),
-        in_specs=[pl.BlockSpec((tile, n_sym * n_out), lambda i: (i, 0),
-                               memory_space=pltpu.ANY
-                               if False else pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec((tile, n_sym * n_out), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 16, n_out), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 16, 16), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((tile, n_sym), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, n_sym), jnp.int8),
@@ -135,5 +150,5 @@ def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
             pltpu.VMEM((tile, 16), jnp.float32),
         ],
         interpret=interpret,
-    )(soft)
+    )(soft, jnp.asarray(sgn), jnp.asarray(sel), jnp.asarray(sbits)[None, :])
     return out[:B]
