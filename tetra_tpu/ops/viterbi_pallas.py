@@ -57,6 +57,9 @@ def _tables(generators):
 
 
 def _make_kernel(n_sym: int, n_out: int, tile_b: int):
+    # soft_ref is time-major [n_sym, tile, N] and bits_ref [n_sym, tile]:
+    # all dynamic time indexing happens on the leading (untiled) dim,
+    # which Mosaic supports without lane-alignment constraints.
     def kernel(soft_ref, sgn_ref, sel_ref, sbits_ref, bits_ref,
                dec_ref, metric_ref):
         s0c = sgn_ref[0]           # [16, N]
@@ -70,7 +73,7 @@ def _make_kernel(n_sym: int, n_out: int, tile_b: int):
         metric_ref[:] = jnp.where(col == 0, 0.0, _NEG)
 
         def acs_step(t, _):
-            sym = soft_ref[:, pl.ds(t * n_out, n_out)]          # [B, N]
+            sym = soft_ref[pl.ds(t, 1)][0]                      # [B, N]
             bm0 = jnp.dot(sym, s0c.T, preferred_element_type=jnp.float32)
             bm1 = jnp.dot(sym, s1c.T, preferred_element_type=jnp.float32)
             m = metric_ref[:]
@@ -88,22 +91,21 @@ def _make_kernel(n_sym: int, n_out: int, tile_b: int):
         best = jnp.max(m, axis=1, keepdims=True)
         onehot0 = (m == best)
         # break ties toward the lowest state index like argmax
-        cum = jnp.cumsum(onehot0.astype(jnp.int32), axis=1)
-        onehot = onehot0 & (cum == 1)                            # [B, 16]
+        rank = jax.lax.broadcasted_iota(jnp.int32, (tile_b, 16), 1)
+        min_rank = jnp.min(jnp.where(onehot0, rank, 16), axis=1, keepdims=True)
+        onehot = (rank == min_rank).astype(jnp.float32)          # [B, 16]
 
         def tb_step(i, onehot):
             t = n_sym - 1 - i
-            bit = jnp.dot(onehot.astype(jnp.float32), sbits_ref[0],
+            bit = jnp.dot(onehot, sbits_ref[0],
                           preferred_element_type=jnp.float32)    # [B]
-            bits_ref[:, pl.ds(t, 1)] = bit.astype(jnp.int8)[:, None]
-            took = dec_ref[pl.ds(t, 1), :, :][0]                 # [B, 16]
-            sel1 = onehot & took
-            sel0 = onehot & jnp.logical_not(took)
-            prev = (jnp.dot(sel0.astype(jnp.float32), tb0c,
-                            preferred_element_type=jnp.float32)
-                    + jnp.dot(sel1.astype(jnp.float32), tb1c,
-                              preferred_element_type=jnp.float32))
-            return prev > 0.5
+            bits_ref[pl.ds(t, 1), :, :] = bit.astype(jnp.int8)[None, None, :]
+            took = dec_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)  # [B, 16]
+            sel1 = onehot * took
+            sel0 = onehot * (1.0 - took)
+            prev = (jnp.dot(sel0, tb0c, preferred_element_type=jnp.float32)
+                    + jnp.dot(sel1, tb1c, preferred_element_type=jnp.float32))
+            return prev
 
         jax.lax.fori_loop(0, n_sym, tb_step, onehot)
 
@@ -126,6 +128,8 @@ def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
     if pad:
         soft = jnp.pad(soft, ((0, pad), (0, 0)))
     Bp = soft.shape[0]
+    # time-major layout for leading-dim dynamic indexing in the kernel
+    soft_tm = jnp.transpose(soft.reshape(Bp, n_sym, n_out), (1, 0, 2))
 
     sgn, sel, sbits = _tables(generators)
     kernel = _make_kernel(n_sym, n_out, tile)
@@ -133,7 +137,7 @@ def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
         kernel,
         grid=(Bp // tile,),
         in_specs=[
-            pl.BlockSpec((tile, n_sym * n_out), lambda i: (i, 0),
+            pl.BlockSpec((n_sym, tile, n_out), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 16, n_out), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -142,13 +146,13 @@ def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
             pl.BlockSpec((1, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, n_sym), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((n_sym, 1, tile), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, n_sym), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((n_sym, 1, Bp), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((n_sym, tile, 16), jnp.bool_),
             pltpu.VMEM((tile, 16), jnp.float32),
         ],
         interpret=interpret,
-    )(soft, jnp.asarray(sgn), jnp.asarray(sel), jnp.asarray(sbits)[None, :])
-    return out[:B]
+    )(soft_tm, jnp.asarray(sgn), jnp.asarray(sel), jnp.asarray(sbits)[None, :])
+    return out[:, 0, :].T[:B]

@@ -64,8 +64,10 @@ class TetraReceiver:
         if keystore_path:
             load_keystore(keystore_path, self.tcs.db)
         from tetra_tpu.mle.mle import rx_tl_sdu
+        self._tun = None
         self.llc = LlcState(log=self._log_inline,
-                            tl_sdu_cb=lambda bits, n: rx_tl_sdu(bits, n, log=self.log))
+                            tl_sdu_cb=lambda bits, n: rx_tl_sdu(bits, n, log=self.log),
+                            ip_cb=self._ip_out)
         self.gsmtap = GsmtapSink(gsmtap_host) if gsmtap_host else None
         self.umac = UpperMac(self.tcs, self.llc,
                              gsmtap_cb=self._gsmtap_cb if self.gsmtap else None,
@@ -82,6 +84,14 @@ class TetraReceiver:
     def _log_inline(self, *args, **kwargs):
         end = kwargs.pop("end", "\n")
         self.log(" ".join(str(a) for a in args) + ("" if end == "" else ""))
+
+    def _ip_out(self, packet: bytes):
+        """Reassembled SNDCP IP payload -> tun0, opened lazily on first
+        use (reference tetra_llc.c:93-101)."""
+        if self._tun is None:
+            from tetra_tpu.io.tun import TunDevice
+            self._tun = TunDevice("tun0")
+        self._tun.write(packet)
 
     def _gsmtap_cb(self, tup: TmvUnitdata):
         self.gsmtap.send(tup.tdma_time, tup.lchan, tup.tdma_time.tn - 1, tup.bits)
@@ -295,12 +305,17 @@ def main(argv=None):
     p.add_argument("-k", dest="keystore", help="crypto keystore file")
     p.add_argument("-g", dest="gsmtap", nargs="?", const="localhost",
                    help="GSMTAP export host")
-    p.add_argument("bits_file", help="file with 1 byte per bit")
+    p.add_argument("-f", dest="fmt", default="auto",
+                   choices=("auto", "bits", "float", "iq"),
+                   help="capture format (default: infer from extension)")
+    p.add_argument("capture", help=".bits (1 byte/bit), .fl (float symbols) "
+                                   "or .cfile (complex IQ)")
     args = p.parse_args(argv)
     rx = TetraReceiver(keystore_path=args.keystore, dumpdir=args.dumpdir,
                        gsmtap_host=args.gsmtap)
-    data = np.fromfile(args.bits_file, dtype=np.uint8)
-    stats = rx.process_bits(data)
+    from tetra_tpu.io.inputs import load_capture, capture_to_bits
+    kind, data = load_capture(args.capture, args.fmt)
+    stats = rx.process_bits(capture_to_bits(kind, data))
     print(f"\n{stats.bursts} bursts, CRC ok/wrong = {stats.crc_ok}/{stats.crc_wrong}")
 
 
