@@ -1,0 +1,82 @@
+"""Sharded multi-carrier decode + halo-exchanged correlation on the
+8-device virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tetra_tpu import constants as C, tx, testpdu
+from tetra_tpu.ops.scramble import scramb_get_init
+from tetra_tpu.parallel.mesh import (make_mesh, sharded_burst_decode,
+                                     sharded_match_map, MAX_TRAIN_LEN)
+from tetra_tpu.phy import burst as burst_mod
+from tetra_tpu.lmac import pipeline
+
+
+@pytest.fixture(scope="module")
+def devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs[:8]
+
+
+class TestShardedDecode:
+    def test_matches_unsharded(self, devices):
+        mesh = make_mesh(devices)
+        init = scramb_get_init(262, 42, 1)
+        rng = np.random.default_rng(0)
+        Cc, S = 16, 2
+        bursts = np.zeros((Cc, S, 510), np.int8)
+        kinds = np.zeros((Cc, S), np.int32)
+        for c in range(Cc):
+            for s in range(S):
+                if (c + s) % 2 == 0:
+                    b = tx.make_sync_burst(
+                        testpdu.make_sync_pdu(mcc=262, mnc=42, cc=1),
+                        testpdu.make_sysinfo_pdu(),
+                        testpdu.make_access_assign_bits(), jnp.uint32(init))
+                    kinds[c, s] = 0
+                else:
+                    schf = testpdu.make_resource_pdu(ssi=c * 10 + s)
+                    b = tx.make_schf_burst(
+                        schf, testpdu.make_access_assign_bits(), jnp.uint32(init))
+                    kinds[c, s] = 1
+                bursts[c, s] = b
+        inits = np.full(Cc, init, np.uint32)
+
+        fn = sharded_burst_decode(mesh)
+        out = fn(jnp.asarray(bursts), jnp.asarray(inits), jnp.asarray(kinds))
+
+        # unsharded reference
+        ref_schf = pipeline.decode_schf_burst(
+            jnp.asarray(bursts), jnp.asarray(inits)[:, None])
+        ref_sync = pipeline.decode_sync_burst(
+            jnp.asarray(bursts), jnp.asarray(inits)[:, None])
+        np.testing.assert_array_equal(np.asarray(out["schf_type1"]),
+                                      np.asarray(ref_schf["SCH_F"].type1))
+        np.testing.assert_array_equal(np.asarray(out["sb1_type1"]),
+                                      np.asarray(ref_sync["SB1"].type1))
+        # correct blocks decode with CRC OK according to their kind
+        schf_ok = np.asarray(out["schf_ok"])
+        sb_ok = np.asarray(out["sb1_ok"]) & np.asarray(out["sb2_ok"])
+        ok = np.where(kinds == 1, schf_ok, sb_ok)
+        assert ok.all()
+        assert int(np.asarray(out["crc_ok_total"])) == Cc * S
+
+    def test_halo_exchange_matches_unsharded(self, devices):
+        mesh = jax.sharding.Mesh(np.asarray(devices), ("time",))
+        rng = np.random.default_rng(1)
+        T = 8 * 256
+        bits = rng.integers(0, 2, size=(2, T)).astype(np.int8)
+        # plant a training sequence straddling a shard boundary (shard = 256)
+        start = 256 * 3 - 10
+        bits[0, start:start + len(C.TRAIN_Y)] = C.TRAIN_Y
+        sharded = sharded_match_map(mesh)(jnp.asarray(bits))
+        ref = burst_mod.train_seq_match(jnp.asarray(bits))
+        # positions within MAX_TRAIN_LEN of the global end differ (ring halo
+        # wraps); mask them
+        valid = T - (MAX_TRAIN_LEN - 1)
+        np.testing.assert_array_equal(np.asarray(sharded)[:, :valid],
+                                      np.asarray(ref)[:, :valid])
+        assert bool(np.asarray(sharded)[0, start, 0])

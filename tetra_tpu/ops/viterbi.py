@@ -29,7 +29,7 @@ __all__ = [
     "trellis_signs", "decode", "decode_cch", "decode_tch", "hard_to_soft",
 ]
 
-_NEG = np.float32(-1e9)
+_NEG = np.float32(-1e6)  # large enough to exclude invalid paths, small enough that f32 adds of ±127 stay exact
 
 # predecessor structure of the de Bruijn state graph:
 # state s = (d0..d3) with s' = ((s & 7) << 1) | b  (viterbi_cch.c:43-47)
@@ -105,11 +105,24 @@ def decode(soft, n_sym: int, generators=CONV_GENERATORS_CCH):
     return jnp.moveaxis(bits, 0, -1)
 
 
+def decode_auto(soft, n_sym: int, generators=CONV_GENERATORS_CCH):
+    """Backend-dispatching decode: the fused Pallas kernel on TPU, the
+    XLA scan elsewhere. Both are bit-exact for the pipeline's quantised
+    soft alphabet (±127/0)."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return decode(soft, n_sym, generators)
+    from tetra_tpu.ops.viterbi_pallas import decode_pallas
+    batch = soft.shape[:-1]
+    flat = soft.reshape((-1, soft.shape[-1]))
+    out = decode_pallas(flat, n_sym, tuple(map(tuple, generators)))
+    return out.reshape(*batch, n_sym)
+
+
 def decode_cch(soft, n_sym: int):
     """Control-channel code (viterbi_cch.c)."""
-    return decode(soft, n_sym, CONV_GENERATORS_CCH)
+    return decode_auto(soft, n_sym, CONV_GENERATORS_CCH)
 
 
 def decode_tch(soft, n_sym: int):
     """Traffic/speech code (viterbi_tch.c)."""
-    return decode(soft, n_sym, CONV_GENERATORS_TCH)
+    return decode_auto(soft, n_sym, CONV_GENERATORS_TCH)

@@ -5,11 +5,12 @@ semantics) but fused into one kernel: branch metrics, ACS forward pass
 and traceback all run in VMEM with the batch tiled over the grid, so
 per-block decisions never round-trip to HBM.
 
-Layout: states live in the lane dimension (16 lanes of 128), batch in
-sublanes. Decisions for all T steps are kept in a VMEM scratch
-[T, TILE_B, 16]; traceback walks it backwards with a fori_loop using
-one-hot state selection — gathers are avoided, everything is dense
-masked arithmetic/matmuls, which is what the VPU/MXU want.
+Layout: the BATCH lives in the lane dimension (so a 256-block tile
+fills two 128-lane vregs) and the 16 states in sublanes; time-indexed
+buffers keep time as an untiled leading dim, so dynamic time indexing
+needs no alignment and nothing is padded to 128 lanes. All
+state-selection steps are dense 16x16 matmuls against one-hot
+selection matrices — no gathers.
 """
 from __future__ import annotations
 
@@ -26,85 +27,90 @@ from tetra_tpu.ops.viterbi import trellis_signs, _P0, _P1, _BIT
 
 __all__ = ["decode_pallas"]
 
-_NEG = np.float32(-1e9)
+_NEG = np.float32(-1e6)  # large enough to exclude invalid paths, small enough that f32 adds of ±127 stay exact
 
 
 @functools.lru_cache(maxsize=4)
 def _tables(generators):
-    """Constant matrices driving ACS + traceback, packed as one array.
+    """Constant matrices, all oriented for column-vector (state x batch)
+    operands:
 
-    rows 0..3:   s0^T, s1^T padded to [16, N] -> stored [2, 16, N]
-    plus 16x16 selection/propagation matrices g0, g1, tb0, tb1.
-    Returned as (signs [2,16,N], sel [4,16,16], state_bits [16]).
+    sgn [2, 16, N]:  branch-metric signs into next-state ns from its
+                     p0/p1 predecessor (row ns).
+    sel [4, 16, 16]: row 0/1 = P0/P1 metric-selection (c = sel @ m),
+                     row 2/3 = traceback propagation (prev = sel.T @ onehot).
+    sbits [1, 16]:   input bit of each state (ns & 1).
     """
     signs = trellis_signs(generators)  # [16, 2, N]
-    n = signs.shape[-1]
     s0 = np.stack([signs[_P0[ns], _BIT[ns]] for ns in range(16)])  # [16, N]
     s1 = np.stack([signs[_P1[ns], _BIT[ns]] for ns in range(16)])
-    g0 = np.zeros((16, 16), np.float32)
-    g1 = np.zeros((16, 16), np.float32)
-    tb0 = np.zeros((16, 16), np.float32)
-    tb1 = np.zeros((16, 16), np.float32)
+    p0sel = np.zeros((16, 16), np.float32)   # c0 = p0sel @ metric
+    p1sel = np.zeros((16, 16), np.float32)
     for ns in range(16):
-        g0[_P0[ns], ns] = 1.0
-        g1[_P1[ns], ns] = 1.0
-        tb0[ns, _P0[ns]] = 1.0
-        tb1[ns, _P1[ns]] = 1.0
-    sgn = np.stack([s0, s1]).astype(np.float32)            # [2, 16, N]
-    sel = np.stack([g0, g1, tb0, tb1]).astype(np.float32)  # [4, 16, 16]
-    sbits = (np.arange(16) & 1).astype(np.float32)
+        p0sel[ns, _P0[ns]] = 1.0
+        p1sel[ns, _P1[ns]] = 1.0
+    sgn = np.stack([s0, s1]).astype(np.float32)                # [2, 16, N]
+    # traceback uses the transposes: prev = p0sel.T @ sel0 + p1sel.T @ sel1
+    sel = np.stack([p0sel, p1sel, p0sel.T.copy(), p1sel.T.copy()]).astype(np.float32)
+    sbits = (np.arange(16) & 1).astype(np.float32)[None, :]
     return sgn, sel, sbits
 
 
 def _make_kernel(n_sym: int, n_out: int, tile_b: int):
-    # soft_ref is time-major [n_sym, tile, N] and bits_ref [n_sym, tile]:
-    # all dynamic time indexing happens on the leading (untiled) dim,
-    # which Mosaic supports without lane-alignment constraints.
+    # soft_ref: [n_sym, N, tile]; bits_ref: [n_sym, 1, tile];
+    # dec scratch: [n_sym, 16, tile]; metric scratch: [16, tile].
     def kernel(soft_ref, sgn_ref, sel_ref, sbits_ref, bits_ref,
                dec_ref, metric_ref):
-        s0c = sgn_ref[0]           # [16, N]
+        s0c = sgn_ref[0]            # [16, N]
         s1c = sgn_ref[1]
-        g0c = sel_ref[0]           # [16, 16]
-        g1c = sel_ref[1]
-        tb0c = sel_ref[2]
-        tb1c = sel_ref[3]
+        p0sel = sel_ref[0]          # [16, 16]
+        p1sel = sel_ref[1]
+        p0selT = sel_ref[2]
+        p1selT = sel_ref[3]
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile_b, 16), 1)
-        metric_ref[:] = jnp.where(col == 0, 0.0, _NEG)
+        row = jax.lax.broadcasted_iota(jnp.int32, (16, tile_b), 0)
+        metric_ref[:] = jnp.where(row == 0, 0.0, _NEG)
 
         def acs_step(t, _):
-            sym = soft_ref[pl.ds(t, 1)][0]                      # [B, N]
-            bm0 = jnp.dot(sym, s0c.T, preferred_element_type=jnp.float32)
-            bm1 = jnp.dot(sym, s1c.T, preferred_element_type=jnp.float32)
-            m = metric_ref[:]
-            c0 = jnp.dot(m, g0c, preferred_element_type=jnp.float32) + bm0
-            c1 = jnp.dot(m, g1c, preferred_element_type=jnp.float32) + bm1
-            dec = c1 > c0
+            sym = soft_ref[pl.ds(t, 1)][0]                      # [N, tile]
+            bm0 = jnp.dot(s0c, sym, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            bm1 = jnp.dot(s1c, sym, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            m = metric_ref[:]                                   # [16, tile]
+            c0 = jnp.dot(p0sel, m, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST) + bm0
+            c1 = jnp.dot(p1sel, m, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST) + bm1
+            dec = (c1 > c0).astype(jnp.float32)
             dec_ref[pl.ds(t, 1), :, :] = dec[None]
-            metric_ref[:] = jnp.where(dec, c1, c0)
+            metric_ref[:] = jnp.maximum(c0, c1)
             return 0
 
         jax.lax.fori_loop(0, n_sym, acs_step, 0)
 
-        # traceback: one-hot state vector, walked backwards
+        # traceback: one-hot state column per batch lane, walked backwards
         m = metric_ref[:]
-        best = jnp.max(m, axis=1, keepdims=True)
-        onehot0 = (m == best)
+        best = jnp.max(m, axis=0, keepdims=True)
+        is_best = m == best
         # break ties toward the lowest state index like argmax
-        rank = jax.lax.broadcasted_iota(jnp.int32, (tile_b, 16), 1)
-        min_rank = jnp.min(jnp.where(onehot0, rank, 16), axis=1, keepdims=True)
-        onehot = (rank == min_rank).astype(jnp.float32)          # [B, 16]
+        rank = jax.lax.broadcasted_iota(jnp.int32, (16, tile_b), 0)
+        min_rank = jnp.min(jnp.where(is_best, rank, 16), axis=0, keepdims=True)
+        onehot = (rank == min_rank).astype(jnp.float32)          # [16, tile]
 
         def tb_step(i, onehot):
             t = n_sym - 1 - i
-            bit = jnp.dot(onehot, sbits_ref[0],
-                          preferred_element_type=jnp.float32)    # [B]
-            bits_ref[pl.ds(t, 1), :, :] = bit.astype(jnp.int8)[None, None, :]
-            took = dec_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)  # [B, 16]
+            bit = jnp.dot(sbits_ref[:], onehot,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)    # [1, tile]
+            bits_ref[pl.ds(t, 1), :, :] = bit.astype(jnp.int8)[None]
+            took = dec_ref[pl.ds(t, 1), :, :][0]                 # [16, tile]
             sel1 = onehot * took
-            sel0 = onehot * (1.0 - took)
-            prev = (jnp.dot(sel0, tb0c, preferred_element_type=jnp.float32)
-                    + jnp.dot(sel1, tb1c, preferred_element_type=jnp.float32))
+            sel0 = onehot - sel1
+            prev = (jnp.dot(p0selT, sel0, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+                    + jnp.dot(p1selT, sel1, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST))
             return prev
 
         jax.lax.fori_loop(0, n_sym, tb_step, onehot)
@@ -117,7 +123,10 @@ def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
                   tile_b: int = 256, interpret: bool = False):
     """Decode soft mother bits [B, >= n_sym*N] -> hard bits [B, n_sym].
 
-    Drop-in replacement for viterbi.decode on 2-D batches.
+    Drop-in replacement for viterbi.decode on 2-D batches. Bit-exact
+    against the scan version for the pipeline's quantised soft alphabet
+    (±127/0); on arbitrary float inputs near-ties may resolve
+    differently (summation order).
     """
     generators = tuple(map(tuple, generators))
     n_out = len(generators)
@@ -128,8 +137,8 @@ def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
     if pad:
         soft = jnp.pad(soft, ((0, pad), (0, 0)))
     Bp = soft.shape[0]
-    # time-major layout for leading-dim dynamic indexing in the kernel
-    soft_tm = jnp.transpose(soft.reshape(Bp, n_sym, n_out), (1, 0, 2))
+    # [n_sym, N, B]: batch in lanes, outputs in sublanes, time untiled
+    soft_tm = jnp.transpose(soft.reshape(Bp, n_sym, n_out), (1, 2, 0))
 
     sgn, sel, sbits = _tables(generators)
     kernel = _make_kernel(n_sym, n_out, tile)
@@ -137,7 +146,7 @@ def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
         kernel,
         grid=(Bp // tile,),
         in_specs=[
-            pl.BlockSpec((n_sym, tile, n_out), lambda i: (0, i, 0),
+            pl.BlockSpec((n_sym, n_out, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 16, n_out), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -150,9 +159,9 @@ def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_sym, 1, Bp), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((n_sym, tile, 16), jnp.bool_),
-            pltpu.VMEM((tile, 16), jnp.float32),
+            pltpu.VMEM((n_sym, 16, tile), jnp.float32),
+            pltpu.VMEM((16, tile), jnp.float32),
         ],
         interpret=interpret,
-    )(soft_tm, jnp.asarray(sgn), jnp.asarray(sel), jnp.asarray(sbits)[None, :])
+    )(soft_tm, jnp.asarray(sgn), jnp.asarray(sel), jnp.asarray(sbits))
     return out[:, 0, :].T[:B]
