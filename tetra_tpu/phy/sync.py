@@ -46,6 +46,17 @@ class SyncEvent:
     detail: int = 0
 
 
+@dataclass
+class SyncCarry:
+    """Resumable synchroniser state for chunked streaming — the analogue
+    of the reference's persistent tetra_rx_state (tetra_burst_sync.h:13-21),
+    with offsets absolute in the stream."""
+    state: str = "UNLOCKED"
+    pos: int = 0                  # absolute scan position
+    next_frame_start: int = 0     # absolute next slot boundary
+    slot_index: int = 0           # LOCKED slot steps so far
+
+
 def compute_match_map(bits, mask: int = 0x1F) -> np.ndarray:
     """[L, 5] train-sequence exact-match map via one device pass."""
     m = burst_mod.train_seq_match(jnp.asarray(bits, dtype=jnp.int8), mask)
@@ -64,11 +75,16 @@ def _first_match(match: np.ndarray, start: int, end: int, cols) -> tuple[int, in
 
 
 def align_stream(bits, match: np.ndarray | None = None,
-                 events: list | None = None) -> list[AlignedSlot]:
+                 events: list | None = None,
+                 carry: "SyncCarry | None" = None,
+                 base_offset: int = 0) -> list[AlignedSlot]:
     """Walk the stream and emit aligned slots, replicating the reference
     state machine's decisions (tetra_burst_sync.c:54-154).
 
-    bits: host uint8 ubits array. Returns AlignedSlots in stream order.
+    bits: host uint8 ubits array starting at absolute stream position
+    `base_offset`. When `carry` is given it is resumed and updated in
+    place, enabling chunked streaming; emitted offsets are relative to
+    `bits` (add base_offset for absolute positions).
     """
     bits = np.asarray(bits, dtype=np.uint8)
     L = len(bits)
@@ -81,10 +97,13 @@ def align_stream(bits, match: np.ndarray | None = None,
     locked_cols = [_COL[C.TETRA_TRAIN_SYNC], _COL[C.TETRA_TRAIN_NORM_1],
                    _COL[C.TETRA_TRAIN_NORM_2]]
 
-    pos = 0                 # scan position (absolute)
-    slot_index = 0
-    state = "UNLOCKED"
-    next_frame_start = 0
+    cy = carry if carry is not None else SyncCarry()
+    pos = cy.pos - base_offset            # scan position (chunk-relative)
+    slot_index = cy.slot_index
+    state = cy.state
+    next_frame_start = cy.next_frame_start - base_offset
+    if pos < 0 or (state != "UNLOCKED" and next_frame_start < 0):
+        raise ValueError("carry refers to bits before this chunk")
 
     while True:
         if state == "UNLOCKED":
@@ -131,4 +150,8 @@ def align_stream(bits, match: np.ndarray | None = None,
                 # reference stays LOCKED for normal-burst mismatch
         next_frame_start += C.BITS_PER_TS
 
+    cy.state = state
+    cy.pos = pos + base_offset
+    cy.next_frame_start = next_frame_start + base_offset
+    cy.slot_index = slot_index
     return out

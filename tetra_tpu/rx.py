@@ -78,12 +78,33 @@ class TetraReceiver:
         self.mcc = self.mnc = self.colour_code = 0
         self.stats = RxStats()
         self._last_step = 0
+        # streaming state: retained bit buffer + resumable sync carry
+        # (the analogue of the reference's 4096-bit ring, tetra_burst_sync.h:17)
+        self._buf = np.zeros(0, dtype=np.uint8)
+        self._buf_base = 0           # absolute stream offset of _buf[0]
+        self._sync_carry = sync_mod.SyncCarry()
+        self._ring_bits = 4096
 
     # ---- logging helpers ----
 
     def _log_inline(self, *args, **kwargs):
         end = kwargs.pop("end", "\n")
         self.log(" ".join(str(a) for a in args) + ("" if end == "" else ""))
+
+    def _trim_buffer(self):
+        """Drop consumed bits, keeping at most the reference's 4096-bit
+        ring depth behind the synchroniser's resume position."""
+        cy = self._sync_carry
+        end = self._buf_base + len(self._buf)
+        if cy.state == "UNLOCKED":
+            keep_from = max(self._buf_base, end - self._ring_bits)
+            cy.pos = max(cy.pos, keep_from)
+        else:
+            keep_from = min(cy.pos, cy.next_frame_start)
+        drop = keep_from - self._buf_base
+        if drop > 0:
+            self._buf = self._buf[drop:]
+            self._buf_base = keep_from
 
     def _ip_out(self, packet: bytes):
         """Reassembled SNDCP IP payload -> tun0, opened lazily on first
@@ -172,14 +193,24 @@ class TetraReceiver:
     # ---- main entry ----
 
     def process_bits(self, bits: np.ndarray) -> RxStats:
-        """Decode a chunk of unpacked hard bits (1 bit per byte/element)."""
-        bits = np.asarray(bits, dtype=np.uint8).reshape(-1) & 1
+        """Decode a chunk of unpacked hard bits (1 bit per byte/element).
+
+        Streaming: partial bursts at the chunk edge are retained and the
+        synchroniser resumes across calls, so feeding one capture in
+        arbitrary chunks is equivalent to feeding it whole.
+        """
+        chunk = np.asarray(bits, dtype=np.uint8).reshape(-1) & 1
+        self._buf = np.concatenate([self._buf, chunk])
+        bits = self._buf
         events: list = []
-        slots = sync_mod.align_stream(bits, events=events)
+        slots = sync_mod.align_stream(bits, events=events,
+                                      carry=self._sync_carry,
+                                      base_offset=self._buf_base)
         for e in events:
             if e.kind == "found_sync":
-                self.log(f"found SYNC training sequence in bit #{e.offset}")
+                self.log(f"found SYNC training sequence in bit #{e.offset + self._buf_base}")
         if not slots:
+            self._trim_buffer()
             return self.stats
 
         # ---- device phase 1: SB1 of all sync bursts (fixed scrambling) ----
@@ -294,6 +325,7 @@ class TetraReceiver:
                 else:
                     self._dispatch(nd1, LogicalChannel.UNKNOWN, 1, 124, "NDB")
                     self._dispatch(nd2, LogicalChannel.UNKNOWN, 2, 124, "NDB")
+        self._trim_buffer()
         return self.stats
 
 
