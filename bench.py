@@ -1,10 +1,16 @@
 """Benchmark: real-time TETRA carriers decodable per chip.
 
 Measures the full lower-MAC decode path (descramble -> deinterleave ->
-depuncture -> 16-state Viterbi -> CRC) on batched SCH/F bursts — the
-dominant per-slot compute of the reference receiver (SURVEY.md §3.1 hot
-loops) — and reports how many real-time carriers (70.588 slots/s each,
-18 ksym/s) one chip sustains.
+depuncture -> 16-state Pallas Viterbi -> CRC) on batched SCH/F bursts —
+the dominant per-slot compute of the reference receiver (SURVEY.md §3.1
+hot loops) — and reports how many real-time carriers (70.588 slots/s
+each, 18 ksym/s) one chip sustains.
+
+Methodology: the device is reached through a tunnel with a fixed
+per-call overhead of tens of ms, so naive loop timing is unreliable.
+Each sample forces completion with a scalar host fetch, and throughput
+is computed differentially between two batch sizes, cancelling the
+fixed overhead.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -26,47 +32,48 @@ def main():
     from tetra_tpu import tx
     from tetra_tpu.ops.scramble import scramb_get_init
 
-    B = 1024              # bursts per batch (carriers x slots)
-    N_ITERS = 20
+    B_SMALL, B_BIG = 16384, 65536
+    REPS = 5
     init = scramb_get_init(262, 42, 1)
 
+    # fixture generation on the host CPU backend (eager TX is many tiny
+    # ops; keep them off the TPU dispatch path)
     rng = np.random.default_rng(0)
-    schf = rng.integers(0, 2, size=(B, 268)).astype(np.int8)
-    aach = rng.integers(0, 2, size=(B, 14)).astype(np.int8)
-    # generate fixtures on the host CPU backend: the eager TX chain is many
-    # tiny ops, and compiling them as TPU executables both wastes time and
-    # degrades subsequent dispatch latency over the device tunnel
+    n_uniq = 64
+    schf = rng.integers(0, 2, size=(n_uniq, 268)).astype(np.int8)
+    aach = rng.integers(0, 2, size=(n_uniq, 14)).astype(np.int8)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         t5 = np.asarray(tx.encode_block("SCH_F", jnp.asarray(schf), jnp.uint32(init)))
         bb = np.asarray(tx.encode_bbk(jnp.asarray(aach), jnp.uint32(init)))
     from tetra_tpu.phy.burst import build_norm_c_d_burst
-    bursts = np.stack([build_norm_c_d_burst(t5[i, :216], bb[i], t5[i, 216:], False)
-                       for i in range(min(B, 64))])
-    bursts = np.tile(bursts, (B // len(bursts) + 1, 1))[:B]
-
-    bursts_d = jnp.asarray(bursts.astype(np.int8))
-    inits_d = jnp.asarray(np.full(B, init, dtype=np.uint32))
+    uniq = np.stack([build_norm_c_d_burst(t5[i, :216], bb[i], t5[i, 216:], False)
+                     for i in range(n_uniq)])
 
     @jax.jit
     def step(b, i):
         res = pipeline.decode_schf_burst(b, i)
-        return res["SCH_F"].type1, res["SCH_F"].crc_ok
+        return res["SCH_F"].crc_ok.astype(jnp.int32).sum()
 
-    # warmup / compile
-    out = step(bursts_d, inits_d)
-    jax.block_until_ready(out)
-    # correctness gate: the benchmark only counts if decode is right
-    ok_frac = float(np.asarray(out[1]).mean())
+    def bursts_of(n):
+        return jnp.asarray(np.tile(uniq, (n // n_uniq + 1, 1))[:n].astype(np.int8))
 
-    t0 = time.perf_counter()
-    for _ in range(N_ITERS):
-        out = step(bursts_d, inits_d)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    times = {}
+    ok_frac = None
+    for B in (B_SMALL, B_BIG):
+        bd = bursts_of(B)
+        idd = jnp.asarray(np.full(B, init, dtype=np.uint32))
+        v = int(step(bd, idd))  # compile + warm
+        if B == B_BIG:
+            ok_frac = v / B
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            v = int(step(bd, idd))  # scalar fetch forces completion
+            best = min(best, time.perf_counter() - t0)
+        times[B] = best
 
-    slots_per_s = B * N_ITERS / dt
-    # one carrier is 18000/255 = 70.588 slots/s (BASELINE.md)
+    slots_per_s = (B_BIG - B_SMALL) / (times[B_BIG] - times[B_SMALL])
     realtime_carriers = slots_per_s / (18000.0 / 255.0)
     result = {
         "metric": "realtime_carriers_per_chip",
@@ -75,6 +82,8 @@ def main():
         "vs_baseline": round(realtime_carriers / 1000.0, 3),
         "slots_per_s": round(slots_per_s, 1),
         "crc_ok_frac": ok_frac,
+        "wall_ms_small": round(times[B_SMALL] * 1e3, 1),
+        "wall_ms_big": round(times[B_BIG] * 1e3, 1),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
