@@ -174,10 +174,15 @@ def generate_keystream(tcs: CryptoState, key: TetraKey, time, num_bits: int) -> 
     nbytes = (num_bits + 7) // 8
     iv = tea_build_iv(time.tn, time.fn, time.mn, tcs.hn, 0)
     eck = taa1.tb5(tcs.cn & 0xFFF, tcs.la & 0x3FFF, tcs.cc & 0x3F, key.key)
-    ksg = _KSGS.get(key.network_info.ksg_type)
-    if ksg is None:
+    ksg_type = key.network_info.ksg_type
+    if ksg_type not in _KSGS:
         return None
-    ks_bytes = ksg(iv, eck, nbytes)
+    # native batch core when available (tetra_tpu/crypto/native.py),
+    # pure-Python otherwise — bit-identical either way
+    from tetra_tpu.crypto import native
+    ks_bytes = bytes(native.tea_keystream_batch(
+        int(ksg_type), np.asarray([iv], np.uint32),
+        np.frombuffer(eck, np.uint8).reshape(1, 10), nbytes)[0])
     return np.unpackbits(np.frombuffer(ks_bytes, dtype=np.uint8))[:num_bits]
 
 

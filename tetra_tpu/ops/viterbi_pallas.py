@@ -49,41 +49,35 @@ def _tables(generators):
     for ns in range(16):
         p0sel[ns, _P0[ns]] = 1.0
         p1sel[ns, _P1[ns]] = 1.0
-    sgn = np.stack([s0, s1]).astype(np.float32)                # [2, 16, N]
-    # traceback uses the transposes: prev = p0sel.T @ sel0 + p1sel.T @ sel1
-    sel = np.stack([p0sel, p1sel, p0sel.T.copy(), p1sel.T.copy()]).astype(np.float32)
+    # stacked forms: one matmul per ACS step / traceback step
+    sgn_stack = np.concatenate([s0, s1], axis=0).astype(np.float32)      # [32, N]
+    psel_stack = np.concatenate([p0sel, p1sel], axis=0).astype(np.float32)  # [32, 16]
+    tbT = np.concatenate([p0sel.T, p1sel.T], axis=1).astype(np.float32)  # [16, 32]
     sbits = (np.arange(16) & 1).astype(np.float32)[None, :]
-    return sgn, sel, sbits
+    return sgn_stack, psel_stack, tbT, sbits
 
 
 def _make_kernel(n_sym: int, n_out: int, tile_b: int):
     # soft_ref: [n_sym, N, tile]; bits_ref: [n_sym, 1, tile];
-    # dec scratch: [n_sym, 16, tile]; metric scratch: [16, tile].
-    def kernel(soft_ref, sgn_ref, sel_ref, sbits_ref, bits_ref,
+    # dec scratch: [n_sym, 16, tile] int8; metric scratch: [16, tile].
+    def kernel(soft_ref, sgn_ref, psel_ref, tbT_ref, sbits_ref, bits_ref,
                dec_ref, metric_ref):
-        s0c = sgn_ref[0]            # [16, N]
-        s1c = sgn_ref[1]
-        p0sel = sel_ref[0]          # [16, 16]
-        p1sel = sel_ref[1]
-        p0selT = sel_ref[2]
-        p1selT = sel_ref[3]
+        sgn = sgn_ref[:]            # [32, N]  (s0 ; s1 stacked)
+        psel = psel_ref[:]          # [32, 16] (p0sel ; p1sel stacked)
+        tbT = tbT_ref[:]            # [16, 32] (p0sel.T | p1sel.T)
 
         row = jax.lax.broadcasted_iota(jnp.int32, (16, tile_b), 0)
         metric_ref[:] = jnp.where(row == 0, 0.0, _NEG)
 
         def acs_step(t, _):
             sym = soft_ref[pl.ds(t, 1)][0]                      # [N, tile]
-            bm0 = jnp.dot(s0c, sym, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-            bm1 = jnp.dot(s1c, sym, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+            bm = jnp.dot(sgn, sym, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)   # [32, tile]
             m = metric_ref[:]                                   # [16, tile]
-            c0 = jnp.dot(p0sel, m, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST) + bm0
-            c1 = jnp.dot(p1sel, m, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST) + bm1
-            dec = (c1 > c0).astype(jnp.float32)
-            dec_ref[pl.ds(t, 1), :, :] = dec[None]
+            c = jnp.dot(psel, m, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST) + bm
+            c0, c1 = c[:16], c[16:]
+            dec_ref[pl.ds(t, 1), :, :] = (c1 > c0).astype(jnp.int8)[None]
             metric_ref[:] = jnp.maximum(c0, c1)
             return 0
 
@@ -104,13 +98,12 @@ def _make_kernel(n_sym: int, n_out: int, tile_b: int):
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)    # [1, tile]
             bits_ref[pl.ds(t, 1), :, :] = bit.astype(jnp.int8)[None]
-            took = dec_ref[pl.ds(t, 1), :, :][0]                 # [16, tile]
+            took = dec_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)  # [16, tile]
             sel1 = onehot * took
             sel0 = onehot - sel1
-            prev = (jnp.dot(p0selT, sel0, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-                    + jnp.dot(p1selT, sel1, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST))
+            selcat = jnp.concatenate([sel0, sel1], axis=0)        # [32, tile]
+            prev = jnp.dot(tbT, selcat, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
             return prev
 
         jax.lax.fori_loop(0, n_sym, tb_step, onehot)
@@ -120,7 +113,7 @@ def _make_kernel(n_sym: int, n_out: int, tile_b: int):
 
 @functools.partial(jax.jit, static_argnames=("n_sym", "generators", "tile_b", "interpret"))
 def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
-                  tile_b: int = 256, interpret: bool = False):
+                  tile_b: int = 512, interpret: bool = False):
     """Decode soft mother bits [B, >= n_sym*N] -> hard bits [B, n_sym].
 
     Drop-in replacement for viterbi.decode on 2-D batches. Bit-exact
@@ -140,7 +133,7 @@ def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
     # [n_sym, N, B]: batch in lanes, outputs in sublanes, time untiled
     soft_tm = jnp.transpose(soft.reshape(Bp, n_sym, n_out), (1, 2, 0))
 
-    sgn, sel, sbits = _tables(generators)
+    sgn, psel, tbT, sbits = _tables(generators)
     kernel = _make_kernel(n_sym, n_out, tile)
     out = pl.pallas_call(
         kernel,
@@ -148,9 +141,11 @@ def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
         in_specs=[
             pl.BlockSpec((n_sym, n_out, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 16, n_out), lambda i: (0, 0, 0),
+            pl.BlockSpec((32, n_out), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 16, 16), lambda i: (0, 0, 0),
+            pl.BlockSpec((32, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 32), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -159,9 +154,10 @@ def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_sym, 1, Bp), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((n_sym, 16, tile), jnp.float32),
+            pltpu.VMEM((n_sym, 16, tile), jnp.int8),
             pltpu.VMEM((16, tile), jnp.float32),
         ],
         interpret=interpret,
-    )(soft_tm, jnp.asarray(sgn), jnp.asarray(sel), jnp.asarray(sbits))
+    )(soft_tm, jnp.asarray(sgn), jnp.asarray(psel), jnp.asarray(tbT),
+      jnp.asarray(sbits))
     return out[:, 0, :].T[:B]
