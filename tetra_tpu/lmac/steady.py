@@ -1,0 +1,85 @@
+"""Steady-state locked receiver step: IQ -> decoded blocks, one program.
+
+The hunt for initial lock needs a full-stream correlation
+(phy.sync / phy.burst.train_seq_match), but once locked the receiver
+only needs to (a) demodulate, (b) slice, (c) verify the training
+sequence at the slot's two legal offsets (sync@214 / normal@244 —
+tetra_burst_sync.c:123,133), and (d) run the FEC pipeline. This module
+fuses that entire per-chunk fast path into one jitted tensor program
+over [carriers, slots] — the throughput configuration the benchmarks
+measure, and the path rx uses between re-acquisitions.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tetra_tpu import constants as C
+from tetra_tpu.phy import dqpsk
+from tetra_tpu.lmac import pipeline
+
+__all__ = ["verify_train_seq", "locked_step_bits", "locked_step_iq"]
+
+
+def verify_train_seq(slots):
+    """Classify aligned slots [..., 510] by their training sequence.
+
+    Returns int32 [...]: 0 = sync (y@214), 1 = SCH/F (n@244),
+    2 = NDB (p@244), -1 = no match (lock lost).
+    """
+    y = jnp.asarray((1 - 2 * C.TRAIN_Y.astype(np.int32)).astype(np.float32))
+    nseq = jnp.asarray((1 - 2 * C.TRAIN_N.astype(np.int32)).astype(np.float32))
+    p = jnp.asarray((1 - 2 * C.TRAIN_P.astype(np.int32)).astype(np.float32))
+    x = 1.0 - 2.0 * slots.astype(jnp.float32)
+    w_sync = x[..., C.SYNC_TRAIN_OFFSET:C.SYNC_TRAIN_OFFSET + 38]
+    w_norm = x[..., C.NORM_TRAIN_OFFSET:C.NORM_TRAIN_OFFSET + 22]
+    is_sync = jnp.dot(w_sync, y, preferred_element_type=jnp.float32) == 38.0
+    is_n = jnp.dot(w_norm, nseq, preferred_element_type=jnp.float32) == 22.0
+    is_p = jnp.dot(w_norm, p, preferred_element_type=jnp.float32) == 22.0
+    return jnp.where(is_sync, 0, jnp.where(is_n, 1, jnp.where(is_p, 2, -1)))
+
+
+@jax.jit
+def locked_step_bits(slots, inits):
+    """Aligned slots [C, S, 510] + per-carrier scrambling codes [C] ->
+    all decoded block kinds + per-slot training classification.
+
+    Both burst interpretations are evaluated and selected by kind
+    (redundant compute instead of divergent control flow, SURVEY.md §7.3).
+    """
+    kinds = verify_train_seq(slots)
+    inits_b = inits[:, None].astype(jnp.uint32)
+    sync = pipeline.decode_sync_burst(slots, inits_b)
+    schf = pipeline.decode_schf_burst(slots, inits_b)
+    ndb = pipeline.decode_ndb_burst(slots, inits_b)
+    crc_ok = jnp.where(
+        kinds == 0, sync["SB1"].crc_ok & sync["SB2"].crc_ok,
+        jnp.where(kinds == 1, schf["SCH_F"].crc_ok,
+                  jnp.where(kinds == 2, ndb["NDB1"].crc_ok & ndb["NDB2"].crc_ok,
+                            False)))
+    return {
+        "kinds": kinds, "crc_ok": crc_ok,
+        "sb1": sync["SB1"], "sb2": sync["SB2"], "bbk": sync["BBK"],
+        "schf": schf["SCH_F"], "ndb1": ndb["NDB1"], "ndb2": ndb["NDB2"],
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("phase_bit", "sps", "n_slots"))
+def locked_step_iq(iq, inits, phase_bit: int = 0, sps: int = 2,
+                   n_slots: int | None = None):
+    """Full chain from complex baseband: demod -> slice -> verify -> FEC.
+
+    iq: [C, T] complex64 at sps samples/symbol; slot boundaries assumed
+    at bit `phase_bit` (steady-state lock).
+    """
+    syms = dqpsk.demodulate(iq, sps=sps)
+    bits = dqpsk.float_to_bits(syms)
+    bits = bits[..., phase_bit:]
+    S = n_slots if n_slots is not None else bits.shape[-1] // C.BITS_PER_TS
+    slots = bits[..., : S * C.BITS_PER_TS].reshape(*bits.shape[:-1], S, C.BITS_PER_TS)
+    out = locked_step_bits(slots, inits)
+    out["bits"] = bits
+    return out
