@@ -70,11 +70,9 @@ def channelize(iq, offsets_hz, fs: float, out_rate: float = DEMOD_RATE,
     mixed = iq[None, :] * osc.astype(jnp.complex64)            # [C, T]
 
     # low-pass to the channel bandwidth (half the 25 kHz spacing)
+    from tetra_tpu.phy.dqpsk import _fir_complex
     taps = jnp.asarray(design_lowpass(fs, 12_500.0, ntaps))
-    pad = ntaps // 2
-    mp = jnp.pad(mixed, ((0, 0), (pad, pad)))
-    win = jnp.arange(T)[:, None] + jnp.arange(ntaps)[None, :]
-    filt = jnp.einsum("ctw,w->ct", mp[:, win], taps[::-1])     # [C, T]
+    filt = _fir_complex(mixed, taps)                           # [C, T]
 
     # polyphase resample to out_rate
     base, phase, bank = _resample_plan(T, fs, out_rate)

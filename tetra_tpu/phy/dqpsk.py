@@ -79,6 +79,25 @@ def modulate(bits, sps: int = 2, ntaps: int | None = None) -> np.ndarray:
     return out.astype(np.complex64)
 
 
+def _fir_complex(x, taps):
+    """Batched FIR of complex [..., T] with real taps via lax.conv
+    (same-length output). Real/imag filtered as separate conv batches —
+    no windowed-gather blowup at large carrier counts."""
+    batch = x.shape[:-1]
+    T = x.shape[-1]
+    ntaps = taps.shape[0]
+    pad = ntaps // 2
+    stacked = jnp.concatenate([jnp.real(x).reshape(-1, 1, T),
+                               jnp.imag(x).reshape(-1, 1, T)], axis=0)
+    kernel = taps[::-1].reshape(1, 1, ntaps).astype(jnp.float32)
+    out = jax.lax.conv_general_dilated(
+        stacked.astype(jnp.float32), kernel, window_strides=(1,),
+        padding=[(pad, ntaps - 1 - pad)])
+    n = int(np.prod(batch)) if batch else 1
+    re, im = out[:n, 0, :], out[n:, 0, :]
+    return (re + 1j * im).reshape(*batch, T)
+
+
 @functools.partial(jax.jit, static_argnames=("sps", "est_cfo"))
 def demodulate(iq, sps: int = 2, est_cfo: bool = True):
     """Complex baseband [..., T] -> float phase symbols [..., T//sps].
@@ -87,12 +106,7 @@ def demodulate(iq, sps: int = 2, est_cfo: bool = True):
     in pi/4 units, ±1/±3) so it feeds float_to_bits directly.
     """
     taps = jnp.asarray(rrc_taps(sps))
-    # matched filter along time (batched 1D convolution)
-    pad = len(taps) // 2
-    iqp = jnp.pad(iq, [(0, 0)] * (iq.ndim - 1) + [(pad, pad)])
-    kernel = taps[::-1]
-    windows_idx = jnp.arange(iq.shape[-1])[:, None] + jnp.arange(len(taps))[None, :]
-    filt = jnp.einsum("...tw,w->...t", iqp[..., windows_idx], kernel)
+    filt = _fir_complex(iq, taps)
 
     # differential phasor at one-symbol lag for every sample (zero-padded
     # at the front so output keeps T//sps symbols; the first symbol is an
