@@ -87,22 +87,24 @@ def main():
     iq_row = dqpsk.modulate(per_carrier_bits[None].astype(np.int8), sps=2)[0]
 
     @jax.jit
-    def chain_step(iq, i):
-        out = steady.locked_step_iq(iq, i, phase_bit=64, n_slots=16)
+    def chain_step(re, im, i):
+        out = steady.locked_step_ri(re, im, i, phase_bit=64, n_slots=16)
         return out["crc_ok"].astype(jnp.int32).sum()
 
     chain_times = {}
     chain_ok = None
     for CC in (C_CARR // 4, C_CARR):
-        iq = jnp.asarray(np.tile(iq_row, (CC, 1)).astype(np.complex64))
+        tiled = np.tile(iq_row, (CC, 1))
+        re = jnp.asarray(np.real(tiled).astype(np.float32))
+        im = jnp.asarray(np.imag(tiled).astype(np.float32))
         idd = jnp.asarray(np.full(CC, init, np.uint32))
-        v = int(chain_step(iq, idd))
+        v = int(chain_step(re, im, idd))
         if CC == C_CARR:
             chain_ok = v / (CC * 16)
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
-            v = int(chain_step(iq, idd))
+            v = int(chain_step(re, im, idd))
             best = min(best, time.perf_counter() - t0)
         chain_times[CC] = best
     d_samples = (C_CARR - C_CARR // 4) * iq_row.shape[-1]

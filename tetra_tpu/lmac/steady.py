@@ -68,14 +68,15 @@ def locked_step_bits(slots, inits):
 
 
 @functools.partial(jax.jit, static_argnames=("phase_bit", "sps", "n_slots"))
-def locked_step_iq(iq, inits, phase_bit: int = 0, sps: int = 2,
+def locked_step_ri(re, im, inits, phase_bit: int = 0, sps: int = 2,
                    n_slots: int | None = None):
-    """Full chain from complex baseband: demod -> slice -> verify -> FEC.
+    """Full chain from planar baseband: demod -> slice -> verify -> FEC.
 
-    iq: [C, T] complex64 at sps samples/symbol; slot boundaries assumed
-    at bit `phase_bit` (steady-state lock).
+    re/im: [C, T] float32 at sps samples/symbol; slot boundaries assumed
+    at bit `phase_bit` (steady-state lock). Planar input keeps complex64
+    off the device transport (some TPU paths don't support it).
     """
-    syms = dqpsk.demodulate(iq, sps=sps)
+    syms = dqpsk.demodulate_ri(re, im, sps=sps)
     bits = dqpsk.float_to_bits(syms)
     bits = bits[..., phase_bit:]
     S = n_slots if n_slots is not None else bits.shape[-1] // C.BITS_PER_TS
@@ -83,3 +84,12 @@ def locked_step_iq(iq, inits, phase_bit: int = 0, sps: int = 2,
     out = locked_step_bits(slots, inits)
     out["bits"] = bits
     return out
+
+
+def locked_step_iq(iq, inits, phase_bit: int = 0, sps: int = 2,
+                   n_slots: int | None = None):
+    """Complex-input convenience wrapper over locked_step_ri."""
+    iq = jnp.asarray(iq)
+    return locked_step_ri(jnp.real(iq).astype(jnp.float32),
+                          jnp.imag(iq).astype(jnp.float32), inits,
+                          phase_bit=phase_bit, sps=sps, n_slots=n_slots)

@@ -98,22 +98,40 @@ def _fir_complex(x, taps):
     return (re + 1j * im).reshape(*batch, T)
 
 
-@functools.partial(jax.jit, static_argnames=("sps", "est_cfo"))
-def demodulate(iq, sps: int = 2, est_cfo: bool = True):
-    """Complex baseband [..., T] -> float phase symbols [..., T//sps].
+def _fir_real(x, taps):
+    """Batched real FIR [..., T] via lax.conv, same-length output."""
+    batch = x.shape[:-1]
+    T = x.shape[-1]
+    ntaps = taps.shape[0]
+    pad = ntaps // 2
+    kernel = taps[::-1].reshape(1, 1, ntaps).astype(jnp.float32)
+    out = jax.lax.conv_general_dilated(
+        x.reshape(-1, 1, T).astype(jnp.float32), kernel, window_strides=(1,),
+        padding=[(pad, ntaps - 1 - pad)])
+    return out[:, 0, :].reshape(*batch, T)
 
-    Output units match the reference chain's float stream (phase deltas
-    in pi/4 units, ±1/±3) so it feeds float_to_bits directly.
+
+@functools.partial(jax.jit, static_argnames=("sps", "est_cfo"))
+def demodulate_ri(re, im, sps: int = 2, est_cfo: bool = True):
+    """Real/imag-plane demodulator core [..., T] f32 each -> symbols.
+
+    Complex arithmetic expressed on float planes: some TPU transports
+    and backends don't handle complex64, and the VPU prefers planar
+    float anyway.
     """
     taps = jnp.asarray(rrc_taps(sps))
-    filt = _fir_complex(iq, taps)
+    fr = _fir_real(re, taps)
+    fi = _fir_real(im, taps)
 
-    # differential phasor at one-symbol lag for every sample (zero-padded
-    # at the front so output keeps T//sps symbols; the first symbol is an
-    # edge artefact)
-    lagged = jnp.pad(filt, [(0, 0)] * (filt.ndim - 1) + [(sps, 0)])[..., :-sps]
-    diff = filt * jnp.conj(lagged)
-    theta = jnp.angle(diff)
+    # differential phasor z[n] * conj(z[n - sps]) on float planes
+    # (zero-padded at the front so output keeps T//sps symbols)
+    def lag(x):
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(sps, 0)])[..., :-sps]
+
+    lr, li = lag(fr), lag(fi)
+    dr = fr * lr + fi * li
+    di = fi * lr - fr * li
+    theta = jnp.arctan2(di, dr)
 
     # timing: per chunk, pick the sample phase maximising |sin(2θ)|
     n = (theta.shape[-1] // sps) * sps
@@ -130,6 +148,19 @@ def demodulate(iq, sps: int = 2, est_cfo: bool = True):
         sym_theta = sym_theta - jnp.mean(err, axis=-1, keepdims=True)
 
     return sym_theta / (jnp.pi / 4.0)
+
+
+def demodulate(iq, sps: int = 2, est_cfo: bool = True):
+    """Complex baseband [..., T] -> float phase symbols [..., T//sps].
+
+    Output units match the reference chain's float stream (phase deltas
+    in pi/4 units, ±1/±3) so it feeds float_to_bits directly. Thin
+    wrapper over demodulate_ri (planar core).
+    """
+    iq = jnp.asarray(iq)
+    return demodulate_ri(jnp.real(iq).astype(jnp.float32),
+                         jnp.imag(iq).astype(jnp.float32),
+                         sps=sps, est_cfo=est_cfo)
 
 
 @jax.jit
