@@ -42,3 +42,18 @@ class TestChannelizer:
         n = min(len(out), bits.shape[-1]) - margin
         errs = (out[margin:n] != bits[0, margin:n]).mean()
         assert errs == 0.0, f"bit error rate {errs}"
+
+
+class TestPlanarChannelizer:
+    def test_matches_complex_path(self):
+        rng = np.random.default_rng(3)
+        wide = (rng.normal(0, 1, 4096) + 1j * rng.normal(0, 1, 4096)).astype(np.complex64)
+        offsets = np.array([-25_000.0, 0.0, 25_000.0], np.float32)
+        ref = np.asarray(channelizer.channelize(
+            jnp.asarray(wide), jnp.asarray(offsets), fs=144_000.0))
+        out_r, out_i = channelizer.channelize_ri(
+            jnp.asarray(np.real(wide).astype(np.float32)),
+            jnp.asarray(np.imag(wide).astype(np.float32)),
+            jnp.asarray(offsets), fs=144_000.0)
+        got = np.asarray(out_r) + 1j * np.asarray(out_i)
+        np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)

@@ -66,3 +66,21 @@ class TestModem:
         margin = 2 * 16
         errs = np.sum(out[margin:-margin] != bits[margin:-margin])
         assert errs == 0
+
+
+class TestHardDemod:
+    def test_fast_equals_slicer_path(self):
+        """Trig-free hard-decision demod must produce identical bits to
+        angle + float_to_bits (except the first, zero-lag edge dibit)."""
+        import jax.numpy as jnp
+        rng = np.random.default_rng(10)
+        bits = rng.integers(0, 2, (3, 2 * 500)).astype(np.int8)
+        iq = dqpsk.modulate(bits, sps=2)
+        iq = iq + (rng.normal(0, 0.08, iq.shape)
+                   + 1j * rng.normal(0, 0.08, iq.shape)).astype(np.complex64)
+        re = jnp.asarray(np.real(iq).astype(np.float32))
+        im = jnp.asarray(np.imag(iq).astype(np.float32))
+        slow = np.asarray(dqpsk.float_to_bits(
+            dqpsk.demodulate_ri(re, im, est_cfo=False)))
+        fast = np.asarray(dqpsk.demodulate_hard_ri(re, im))
+        np.testing.assert_array_equal(fast[:, 2:], slow[:, 2:])

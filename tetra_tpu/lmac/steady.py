@@ -67,17 +67,22 @@ def locked_step_bits(slots, inits):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("phase_bit", "sps", "n_slots"))
+@functools.partial(jax.jit, static_argnames=("phase_bit", "sps", "n_slots", "fast"))
 def locked_step_ri(re, im, inits, phase_bit: int = 0, sps: int = 2,
-                   n_slots: int | None = None):
+                   n_slots: int | None = None, fast: bool = True):
     """Full chain from planar baseband: demod -> slice -> verify -> FEC.
 
     re/im: [C, T] float32 at sps samples/symbol; slot boundaries assumed
     at bit `phase_bit` (steady-state lock). Planar input keeps complex64
     off the device transport (some TPU paths don't support it).
+    fast=True uses the trig-free hard-decision demod (identical bits to
+    the angle+slicer path on clean/locked signals, no atan2).
     """
-    syms = dqpsk.demodulate_ri(re, im, sps=sps)
-    bits = dqpsk.float_to_bits(syms)
+    if fast:
+        bits = dqpsk.demodulate_hard_ri(re, im, sps=sps)
+    else:
+        syms = dqpsk.demodulate_ri(re, im, sps=sps)
+        bits = dqpsk.float_to_bits(syms)
     bits = bits[..., phase_bit:]
     S = n_slots if n_slots is not None else bits.shape[-1] // C.BITS_PER_TS
     slots = bits[..., : S * C.BITS_PER_TS].reshape(*bits.shape[:-1], S, C.BITS_PER_TS)

@@ -56,6 +56,41 @@ def _resample_plan(n_in: int, fs: float, out_rate: float,
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "out_rate", "ntaps"))
+def channelize_ri(re, im, offsets_hz, fs: float, out_rate: float = DEMOD_RATE,
+                  ntaps: int = 127):
+    """Planar wideband channelizer: float32 [T] planes -> [C, n_out] planes.
+
+    Same math as `channelize` but with all complex arithmetic expressed
+    on real/imag planes (TPU transport + VPU friendly): oscillator-bank
+    mix, low-pass FIR per plane, polyphase resample per plane.
+    Returns (out_re, out_im).
+    """
+    from tetra_tpu.phy.dqpsk import _fir_real
+    re = jnp.asarray(re, dtype=jnp.float32)
+    im = jnp.asarray(im, dtype=jnp.float32)
+    T = re.shape[-1]
+    t = jnp.arange(T, dtype=jnp.float32) / jnp.float32(fs)
+    ph = 2.0 * jnp.pi * offsets_hz[:, None] * t[None, :]
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    # (re + j im) * e^{-j ph}
+    mr = re[None, :] * c + im[None, :] * s
+    mi = im[None, :] * c - re[None, :] * s
+
+    taps = design_lowpass(fs, 12_500.0, ntaps)
+    fr = _fir_real(mr, taps)
+    fi = _fir_real(mi, taps)
+
+    base, phase, bank = _resample_plan(T, fs, out_rate)
+    ntp = bank.shape[1]
+    gather = jnp.asarray(base)[:, None] + jnp.arange(ntp)[None, :]
+    gather = jnp.clip(gather, 0, T - 1)
+    coefs = jnp.asarray(bank)[jnp.asarray(phase)].astype(jnp.float32)
+    out_r = jnp.einsum("cnw,nw->cn", fr[:, gather], coefs)
+    out_i = jnp.einsum("cnw,nw->cn", fi[:, gather], coefs)
+    return out_r, out_i
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "out_rate", "ntaps"))
 def channelize(iq, offsets_hz, fs: float, out_rate: float = DEMOD_RATE,
                ntaps: int = 127):
     """Wideband complex [T] (or [..., T]) -> per-carrier baseband [C, T_out].

@@ -98,17 +98,40 @@ def _fir_complex(x, taps):
     return (re + 1j * im).reshape(*batch, T)
 
 
-def _fir_real(x, taps):
-    """Batched real FIR [..., T] via lax.conv, same-length output."""
+@functools.lru_cache(maxsize=16)
+def _band_matrix(ntaps: int, block: int, taps_key) -> np.ndarray:
+    """Banded [block+ntaps-1, block] matrix for FIR-as-matmul:
+    y[o] = sum_m x_ext[m] * band[m, o] with band[m, o] = kernel[m-o]."""
+    kernel = np.asarray(taps_key, dtype=np.float32)[::-1]
+    K = ntaps
+    band = np.zeros((block + K - 1, block), np.float32)
+    for o in range(block):
+        band[o:o + K, o] = kernel
+    return band
+
+
+def _fir_real(x, taps, block: int = 128):
+    """Batched real FIR [..., T], same-length output, as an overlap-save
+    banded matmul so the MACs land on the MXU instead of the VPU.
+
+    `taps` must be a host numpy array (it parameterises the constant
+    band matrix)."""
+    taps = np.asarray(taps, dtype=np.float32)
     batch = x.shape[:-1]
     T = x.shape[-1]
     ntaps = taps.shape[0]
     pad = ntaps // 2
-    kernel = taps[::-1].reshape(1, 1, ntaps).astype(jnp.float32)
-    out = jax.lax.conv_general_dilated(
-        x.reshape(-1, 1, T).astype(jnp.float32), kernel, window_strides=(1,),
-        padding=[(pad, ntaps - 1 - pad)])
-    return out[:, 0, :].reshape(*batch, T)
+    nblk = -(-T // block)
+    Tp = nblk * block
+    x2 = jnp.pad(x.astype(jnp.float32),
+                 [(0, 0)] * (x.ndim - 1) + [(pad, Tp - T + (ntaps - 1 - pad))])
+    # frames[n] = x_ext[n*block : n*block + block+ntaps-1]
+    idx = (jnp.arange(nblk) * block)[:, None] + jnp.arange(block + ntaps - 1)[None, :]
+    frames = x2[..., idx]                                    # [..., nblk, blk+K-1]
+    band = jnp.asarray(_band_matrix(ntaps, block, tuple(taps.tolist())))
+    y = jnp.einsum("...nk,ko->...no", frames, band,
+                   preferred_element_type=jnp.float32)
+    return y.reshape(*batch, Tp)[..., :T]
 
 
 @functools.partial(jax.jit, static_argnames=("sps", "est_cfo"))
@@ -119,7 +142,7 @@ def demodulate_ri(re, im, sps: int = 2, est_cfo: bool = True):
     and backends don't handle complex64, and the VPU prefers planar
     float anyway.
     """
-    taps = jnp.asarray(rrc_taps(sps))
+    taps = rrc_taps(sps)
     fr = _fir_real(re, taps)
     fi = _fir_real(im, taps)
 
@@ -161,6 +184,42 @@ def demodulate(iq, sps: int = 2, est_cfo: bool = True):
     return demodulate_ri(jnp.real(iq).astype(jnp.float32),
                          jnp.imag(iq).astype(jnp.float32),
                          sps=sps, est_cfo=est_cfo)
+
+
+@functools.partial(jax.jit, static_argnames=("sps",))
+def demodulate_hard_ri(re, im, sps: int = 2):
+    """Trig-free hard-decision demodulator: planar baseband -> dibits.
+
+    pi/4-DQPSK hard decisions are pure sign tests on the differential
+    phasor d = z[n]·conj(z[n-sps]): b0 = (Im d <= 0), b1 = (Re d < 0) —
+    equivalent to the angle+slicer path (float_to_bits.c thresholds) but
+    with no atan2. Timing selection uses |sin 2θ| = 2|dr·di|/|d|², also
+    trig-free. Returns ubits [..., 2*(T//sps)].
+    """
+    taps = rrc_taps(sps)
+    fr = _fir_real(re, taps)
+    fi = _fir_real(im, taps)
+
+    def lag(x):
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(sps, 0)])[..., :-sps]
+
+    lr, li = lag(fr), lag(fi)
+    dr = fr * lr + fi * li
+    di = fi * lr - fr * li
+
+    n = (dr.shape[-1] // sps) * sps
+    drp = dr[..., :n].reshape(*dr.shape[:-1], n // sps, sps)
+    dip = di[..., :n].reshape(*di.shape[:-1], n // sps, sps)
+    mag2 = drp * drp + dip * dip
+    score = jnp.mean(2.0 * jnp.abs(drp * dip) / (mag2 + 1e-12), axis=-2)
+    best = jnp.argmax(score, axis=-1).astype(jnp.int32)
+    sel_r = jnp.take_along_axis(drp, best[..., None, None], axis=-1)[..., 0]
+    sel_i = jnp.take_along_axis(dip, best[..., None, None], axis=-1)[..., 0]
+
+    b0 = (sel_i <= 0).astype(jnp.int8)
+    b1 = (sel_r < 0).astype(jnp.int8)
+    bits = jnp.stack([b0, b1], axis=-1)
+    return bits.reshape(*bits.shape[:-2], bits.shape[-2] * 2)
 
 
 @jax.jit
