@@ -88,7 +88,11 @@ def main():
 
     @jax.jit
     def chain_step(re, im, i):
-        out = steady.locked_step_ri(re, im, i, phase_bit=64, n_slots=16)
+        # traffic steady state: decode the SCH/F interpretation only (a
+        # deployment config; sync bursts are ~1 slot in 72 and handled by
+        # the acquisition path)
+        out = steady.locked_step_ri(re, im, i, phase_bit=64, n_slots=16,
+                                    decoders=("schf",))
         return out["crc_ok"].astype(jnp.int32).sum()
 
     chain_times = {}

@@ -120,3 +120,36 @@ class TestHarness:
         assert result["frames_ok"] >= 2
         saved = json.loads(next(tmp_path.glob("*/*.json")).read_text())
         assert saved["frames_ok"] == result["frames_ok"]
+
+
+class TestLiveReceiver:
+    def test_udp_bits_pipeline(self):
+        """receiver1udp analogue: bits over UDP -> streaming decode."""
+        import threading
+        import socket as socketmod
+        from tetra_tpu import receiver as receiver_mod
+        from tetra_tpu.rx import TetraReceiver
+        from tests.test_rx_e2e import build_capture
+
+        bits, _ = build_capture(n_frames=1)
+        rx = TetraReceiver(log=lambda *a: None)
+
+        # pick a free port by binding first inside run_udp via UdpSource(0)
+        from tetra_tpu.io.udp import UdpSource, UdpSink
+        src = UdpSource(0, host="127.0.0.1", dtype=np.uint8, timeout=1.0)
+        port = src.sock.getsockname()[1]
+        src.close()
+
+        def feed():
+            sink = UdpSink("127.0.0.1", port)
+            for i in range(0, len(bits), 1024):
+                sink.send(bits[i:i + 1024].astype(np.uint8))
+            sink.close()
+
+        t = threading.Timer(0.3, feed)
+        t.start()
+        receiver_mod.run_udp(rx, port, "bits", sps=2, chunk_symbols=2048,
+                             timeout=1.5)
+        t.join()
+        assert rx.stats.bursts >= 3
+        assert rx.stats.crc_ok >= 4

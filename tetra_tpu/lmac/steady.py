@@ -42,34 +42,51 @@ def verify_train_seq(slots):
     return jnp.where(is_sync, 0, jnp.where(is_n, 1, jnp.where(is_p, 2, -1)))
 
 
-@jax.jit
-def locked_step_bits(slots, inits):
+@functools.partial(jax.jit, static_argnames=("decoders",))
+def locked_step_bits(slots, inits, decoders: tuple = ("sync", "schf", "ndb")):
     """Aligned slots [C, S, 510] + per-carrier scrambling codes [C] ->
-    all decoded block kinds + per-slot training classification.
+    decoded blocks + per-slot training classification.
 
-    Both burst interpretations are evaluated and selected by kind
-    (redundant compute instead of divergent control flow, SURVEY.md §7.3).
+    All configured burst interpretations are evaluated and selected by
+    kind (redundant compute instead of divergent control flow, SURVEY.md
+    §7.3). `decoders` statically selects which interpretations to run:
+    a deployment decoding a traffic-heavy downlink can drop the unused
+    ones and reclaim their Viterbi work; slots whose classified kind has
+    no configured decoder report crc_ok=False (and can be routed to a
+    slow path by the caller).
     """
     kinds = verify_train_seq(slots)
     inits_b = inits[:, None].astype(jnp.uint32)
-    sync = pipeline.decode_sync_burst(slots, inits_b)
-    schf = pipeline.decode_schf_burst(slots, inits_b)
-    ndb = pipeline.decode_ndb_burst(slots, inits_b)
-    crc_ok = jnp.where(
-        kinds == 0, sync["SB1"].crc_ok & sync["SB2"].crc_ok,
-        jnp.where(kinds == 1, schf["SCH_F"].crc_ok,
-                  jnp.where(kinds == 2, ndb["NDB1"].crc_ok & ndb["NDB2"].crc_ok,
-                            False)))
-    return {
-        "kinds": kinds, "crc_ok": crc_ok,
-        "sb1": sync["SB1"], "sb2": sync["SB2"], "bbk": sync["BBK"],
-        "schf": schf["SCH_F"], "ndb1": ndb["NDB1"], "ndb2": ndb["NDB2"],
-    }
+    out = {"kinds": kinds}
+    false = jnp.zeros(kinds.shape, dtype=bool)
+    ok_sync = ok_schf = ok_ndb = false
+    if "sync" in decoders:
+        sync = pipeline.decode_sync_burst(slots, inits_b)
+        out.update(sb1=sync["SB1"], sb2=sync["SB2"], bbk=sync["BBK"])
+        ok_sync = sync["SB1"].crc_ok & sync["SB2"].crc_ok
+    if "schf" in decoders:
+        schf = pipeline.decode_schf_burst(slots, inits_b)
+        out["schf"] = schf["SCH_F"]
+        if "sync" not in decoders:
+            out["bbk"] = schf["BBK"]
+        ok_schf = schf["SCH_F"].crc_ok
+    if "ndb" in decoders:
+        ndb = pipeline.decode_ndb_burst(slots, inits_b)
+        out.update(ndb1=ndb["NDB1"], ndb2=ndb["NDB2"])
+        if "bbk" not in out:
+            out["bbk"] = ndb["BBK"]
+        ok_ndb = ndb["NDB1"].crc_ok & ndb["NDB2"].crc_ok
+    out["crc_ok"] = jnp.where(
+        kinds == 0, ok_sync,
+        jnp.where(kinds == 1, ok_schf, jnp.where(kinds == 2, ok_ndb, False)))
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("phase_bit", "sps", "n_slots", "fast"))
+@functools.partial(jax.jit, static_argnames=("phase_bit", "sps", "n_slots", "fast",
+                                              "decoders"))
 def locked_step_ri(re, im, inits, phase_bit: int = 0, sps: int = 2,
-                   n_slots: int | None = None, fast: bool = True):
+                   n_slots: int | None = None, fast: bool = True,
+                   decoders: tuple = ("sync", "schf", "ndb")):
     """Full chain from planar baseband: demod -> slice -> verify -> FEC.
 
     re/im: [C, T] float32 at sps samples/symbol; slot boundaries assumed
@@ -86,7 +103,7 @@ def locked_step_ri(re, im, inits, phase_bit: int = 0, sps: int = 2,
     bits = bits[..., phase_bit:]
     S = n_slots if n_slots is not None else bits.shape[-1] // C.BITS_PER_TS
     slots = bits[..., : S * C.BITS_PER_TS].reshape(*bits.shape[:-1], S, C.BITS_PER_TS)
-    out = locked_step_bits(slots, inits)
+    out = locked_step_bits(slots, inits, decoders=decoders)
     out["bits"] = bits
     return out
 

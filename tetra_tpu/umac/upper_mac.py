@@ -52,6 +52,14 @@ class LogicalChannel:
              9: "TCH", 10: "BSCH", 11: "BNCH"}
 
 
+# SAP names (reference tetra_common.c:96-103 / tetra_prim.h:10-16)
+SAP_NAMES = {0: "TP-SAP", 1: "TMV-SAP", 2: "TMA-SAP", 3: "TMB-SAP", 4: "TMD-SAP"}
+
+
+def sap_name(sap: int) -> str:
+    return SAP_NAMES.get(sap, "unknown")
+
+
 @dataclass
 class TmvUnitdata:
     """TMV-SAP UNITDATA.ind parameters (reference tetra_prim.h:26-36)."""
