@@ -33,7 +33,7 @@ def main():
     from tetra_tpu.ops.scramble import scramb_get_init
 
     B_SMALL, B_BIG = 16384, 65536
-    REPS = 5
+    REPS = 3
     init = scramb_get_init(262, 42, 1)
 
     # fixture generation on the host CPU backend (eager TX is many tiny
