@@ -15,6 +15,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tetra_tpu import constants as C
@@ -135,6 +136,22 @@ def _templates():
             for tid, seq in _TRAIN_SEQS.items()}
 
 
+def _correlate_left(x, tmpl):
+    """y[..., t] = sum_j x[..., t+j] * tmpl[j] via lax.conv (left-aligned,
+    zero-padded past the end) — streams at O(L), no windowed-gather
+    materialisation."""
+    batch = x.shape[:-1]
+    L = x.shape[-1]
+    n = len(tmpl)
+    # XLA conv is cross-correlation: y[t] = sum_j x[t+j] * kernel[j],
+    # exactly the left-aligned correlation we want (no kernel flip)
+    kernel = jnp.asarray(np.asarray(tmpl, np.float32)).reshape(1, 1, n)
+    out = jax.lax.conv_general_dilated(
+        x.reshape(-1, 1, L), kernel, window_strides=(1,),
+        padding=[(0, n - 1)])
+    return out[:, 0, :].reshape(*batch, L)
+
+
 def train_seq_match(bits, mask: int = 0x1F):
     """Exact-match map of the 5 training sequences over ubits [..., L].
 
@@ -154,12 +171,7 @@ def train_seq_match(bits, mask: int = 0x1F):
         if not (mask >> tid) & 1:
             outs.append(jnp.zeros(x.shape[:-1] + (L,), dtype=bool))
             continue
-        # windowed correlation via gather-matmul: [..., L, n] @ [n]
-        idx = jnp.arange(L)[:, None] + jnp.arange(n)[None, :]
-        idx = jnp.minimum(idx, L - 1)
-        windows = jnp.take(x, idx, axis=-1)  # [..., L, n]
-        corr = jnp.dot(windows, jnp.asarray(tmpl),
-                       preferred_element_type=jnp.float32)
+        corr = _correlate_left(x, tmpl)
         valid = jnp.arange(L) <= L - n
         outs.append((corr == float(n)) & valid)
     return jnp.stack(outs, axis=-1)
