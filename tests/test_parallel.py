@@ -80,3 +80,38 @@ class TestShardedDecode:
         np.testing.assert_array_equal(np.asarray(sharded)[:, :valid],
                                       np.asarray(ref)[:, :valid])
         assert bool(np.asarray(sharded)[0, start, 0])
+
+
+class TestShardedFullChain:
+    def test_matches_unsharded(self, devices):
+        from tetra_tpu.parallel.mesh import sharded_locked_step
+        from tetra_tpu.lmac import steady
+        from tetra_tpu.phy import dqpsk
+        init = scramb_get_init(262, 42, 1)
+        Cc, S = 8, 2
+        slots = []
+        for c in range(Cc):
+            row = []
+            for s in range(S):
+                pdu = testpdu.make_resource_pdu(ssi=c * 10 + s)
+                row.append(tx.make_schf_burst(
+                    pdu, testpdu.make_access_assign_bits(), jnp.uint32(init)))
+            slots.append(np.concatenate(row))
+        pad = np.zeros((Cc, 64), np.int8)
+        bits = np.concatenate([pad, np.stack(slots).astype(np.int8), pad], axis=1)
+        iq = dqpsk.modulate(bits, sps=2)
+        re = jnp.asarray(np.real(iq).astype(np.float32))
+        im = jnp.asarray(np.imag(iq).astype(np.float32))
+        inits = jnp.asarray(np.full(Cc, init, np.uint32))
+
+        mesh = make_mesh(devices)
+        fn = sharded_locked_step(mesh, phase_bit=64, n_slots=S,
+                                 decoders=("schf",))
+        out = fn(re, im, inits)
+        ref = steady.locked_step_ri(re, im, inits, phase_bit=64, n_slots=S,
+                                    decoders=("schf",))
+        np.testing.assert_array_equal(np.asarray(out["kinds"]),
+                                      np.asarray(ref["kinds"]))
+        np.testing.assert_array_equal(np.asarray(out["schf_type1"]),
+                                      np.asarray(ref["schf"].type1))
+        assert int(np.asarray(out["crc_ok_total"])) == Cc * S

@@ -82,6 +82,38 @@ def sharded_burst_decode(mesh: Mesh, axis: str = "carrier"):
     return jax.jit(sharded)
 
 
+def sharded_locked_step(mesh: Mesh, axis: str = "carrier",
+                        phase_bit: int = 0, sps: int = 2,
+                        n_slots: int | None = None,
+                        decoders: tuple = ("sync", "schf", "ndb")):
+    """Jitted steady-state full chain over a carrier-sharded mesh.
+
+    fn(re [C, T], im [C, T], inits [C]) -> locked_step outputs with the
+    carrier axis sharded across chips plus a psum'd global CRC-OK count.
+    The per-carrier chain has no cross-carrier dependence, so the only
+    collective is the bookkeeping psum — linear scaling by construction.
+    """
+    from tetra_tpu.lmac import steady
+
+    def step(re, im, inits):
+        out = steady.locked_step_ri(re, im, inits, phase_bit=phase_bit,
+                                    sps=sps, n_slots=n_slots,
+                                    decoders=decoders)
+        total_ok = jax.lax.psum(out["crc_ok"].astype(jnp.int32).sum(), axis)
+        return {"kinds": out["kinds"], "crc_ok": out["crc_ok"],
+                "schf_type1": out["schf"].type1 if "schf" in decoders else None,
+                "crc_ok_total": total_ok}
+
+    spec2 = P(axis, None)
+    out_specs = {"kinds": spec2, "crc_ok": spec2,
+                 "schf_type1": P(axis, None, None) if "schf" in decoders else None,
+                 "crc_ok_total": P()}
+    sharded = shard_map(step, mesh=mesh,
+                        in_specs=(spec2, spec2, P(axis)),
+                        out_specs=out_specs, check_rep=False)
+    return jax.jit(sharded)
+
+
 def sharded_match_map(mesh: Mesh, axis: str = "time"):
     """Jitted training-sequence correlation with halo exchange.
 
