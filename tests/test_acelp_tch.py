@@ -40,7 +40,7 @@ class TestTchS:
         rng = np.random.default_rng(1)
         c0 = rng.integers(0, 2, size=(4, 102)).astype(np.int8)
         c1 = rng.integers(0, 2, size=(4, 108)).astype(np.int8)
-        c2 = rng.integers(0, 2, size=(4, 68)).astype(np.int8)
+        c2 = rng.integers(0, 2, size=(4, 64)).astype(np.int8)
         t3 = acelp.tch_s_encode(jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(c2))
         assert t3.shape == (4, 432)
         d0, d1, d2, ok1, ok2 = acelp.tch_s_decode(t3)

@@ -139,3 +139,46 @@ class TestRxTraffic:
         for i in range(6):
             assert blk[115 * i] == 0x6B21 + i
         assert set(np.unique(blk[1:115])) <= {-127, 127}
+
+
+class TestVoiceDecode:
+    def test_voice_codec_output(self, tmp_path):
+        """decode_voice=True additionally runs the TCH/S speech chain and
+        writes packed codec frames (capability the reference leaves
+        unwired, SURVEY §3.5)."""
+        from tetra_tpu.ops import acelp
+        rng = np.random.default_rng(7)
+        c0 = rng.integers(0, 2, 102).astype(np.int8)
+        c1 = rng.integers(0, 2, 108).astype(np.int8)
+        c2v = rng.integers(0, 2, 64).astype(np.int8)
+        t3 = np.asarray(acelp.tch_s_encode(jnp.asarray(c0[None]),
+                                           jnp.asarray(c1[None]),
+                                           jnp.asarray(c2v[None])))[0]
+        # scramble type-3 speech into type-5 (traffic has no interleave in
+        # our simplified voice path; the dump reads type-4 = descrambled)
+        from tetra_tpu.ops.scramble import scramb_bits
+        t5 = np.asarray(scramb_bits(jnp.uint32(INIT), jnp.asarray(t3)))
+        sync = testpdu.make_sync_pdu(cc=CC, tn=1, fn=1, mn=1, mcc=MCC, mnc=MNC)
+        sysinfo = testpdu.make_sysinfo_pdu()
+        aach_ctrl = testpdu.make_access_assign_bits()
+        aach_traffic = testpdu.make_access_assign_bits(hdr=3, f1=5, f2=0)
+        stream = [np.random.default_rng(1).integers(0, 2, 91).astype(np.uint8)]
+        stream.append(tx.make_sync_burst(sync, sysinfo, aach_ctrl, jnp.uint32(INIT)))
+        stream.append(tx.make_sync_burst(sync, sysinfo, aach_ctrl, jnp.uint32(INIT)))
+        from tetra_tpu.ops.rm3014 import encode as rm_encode
+        bb_t5 = np.asarray(tx.encode_bbk(jnp.asarray(aach_traffic), jnp.uint32(INIT)))
+        from tetra_tpu.phy.burst import build_norm_c_d_burst
+        stream.append(build_norm_c_d_burst(t5[:216], bb_t5, t5[216:], False))
+        bits = np.concatenate(stream)
+
+        rx = TetraReceiver(dumpdir=str(tmp_path), decode_voice=True,
+                           log=lambda *a: None)
+        rx.process_bits(bits)
+        cods = list(tmp_path.glob("voice_5_*.cod"))
+        assert len(cods) == 1
+        packed = cods[0].read_bytes()
+        codec = np.unpackbits(np.frombuffer(packed, np.uint8))[:274]
+        # reconstruct expected codec frames from the transmitted classes
+        line = np.concatenate([c0, c1, c2v])
+        expect = np.asarray(acelp.type2_to_codec(jnp.asarray(line[None])))[0]
+        np.testing.assert_array_equal(codec, expect)

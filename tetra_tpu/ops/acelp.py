@@ -83,13 +83,17 @@ _C2_T2, _C2_T3 = 72, 162
 def tch_s_encode(class0, class1, class2):
     """Encode speech classes to a 432-bit type-3 frame (batched).
 
+    Class sizes are chosen so the three classes sum to exactly one
+    274-bit speech frame pair (2 x 137, EN 300 395-2) with the
+    reference's type-2/type-3 block sizes (tetra_conv_enc.c:253-263):
+
     class0: [..., 102] unprotected bits (51 dibit pairs x 2 frames)
-    class1: [..., 108] -> +4 tail = 112 -> rate 112/168
-    class2: [..., 68]  -> +4 tail = 72  -> rate 72/162
+    class1: [..., 108] -> +4 tail = 112 type-2 -> rate 112/168
+    class2: [..., 64]  -> +4 pad +4 tail = 72 type-2 -> rate 72/162
     Layout: [class0 | punct(class1) | punct(class2)] = 102+168+162 = 432.
     """
     tail1 = jnp.zeros(class1.shape[:-1] + (4,), jnp.int8)
-    tail2 = jnp.zeros(class2.shape[:-1] + (4,), jnp.int8)
+    tail2 = jnp.zeros(class2.shape[:-1] + (8,), jnp.int8)
     t2_1 = jnp.concatenate([class1.astype(jnp.int8), tail1], axis=-1)
     t2_2 = jnp.concatenate([class2.astype(jnp.int8), tail2], axis=-1)
     m1 = rcpc.conv_encode(t2_1, C.CONV_GENERATORS_TCH)
@@ -102,9 +106,9 @@ def tch_s_encode(class0, class1, class2):
 def tch_s_decode(type3):
     """Decode a 432-bit TCH/S type-3 frame into speech classes (batched).
 
-    Returns (class0 [..., 102], class1 [..., 108], class2 [..., 68],
-    ok1, ok2) where ok* are all-True placeholders for class CRCs (the
-    speech CRC8 is part of the codec frame, checked downstream).
+    Returns (class0 [..., 102], class1 [..., 108], class2 [..., 64],
+    ok1, ok2) where ok* check the zero tails (decode sanity; the speech
+    CRC proper is part of the codec frame, checked downstream).
     """
     c0 = type3[..., :102]
     p1 = type3[..., 102:102 + _C1_T3]
@@ -118,5 +122,5 @@ def tch_s_decode(type3):
     d1 = viterbi.decode(s1, _C1_T2, C.CONV_GENERATORS_TCH)
     d2 = viterbi.decode(s2, _C2_T2, C.CONV_GENERATORS_TCH)
     ok1 = jnp.all(d1[..., -4:] == 0, axis=-1)
-    ok2 = jnp.all(d2[..., -4:] == 0, axis=-1)
-    return c0, d1[..., :108], d2[..., :68], ok1, ok2
+    ok2 = jnp.all(d2[..., -8:] == 0, axis=-1)
+    return c0, d1[..., :108], d2[..., :64], ok1, ok2

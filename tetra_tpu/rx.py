@@ -58,6 +58,7 @@ class TetraReceiver:
     def __init__(self, keystore_path: str | None = None,
                  dumpdir: str | None = None,
                  gsmtap_host: str | None = None,
+                 decode_voice: bool = False,
                  log=print):
         self.log = log
         self.tcs = CryptoState()
@@ -73,6 +74,7 @@ class TetraReceiver:
                              gsmtap_cb=self._gsmtap_cb if self.gsmtap else None,
                              log=log)
         self.dumpdir = dumpdir
+        self.decode_voice = decode_voice
         self.time = TdmaTime()
         self.scramb_init = 0         # cell scrambling code (tetra_cell_data)
         self.mcc = self.mnc = self.colour_code = 0
@@ -180,6 +182,26 @@ class TetraReceiver:
             f.write(block.tobytes())
         with open(os.path.join(self.dumpdir, f"traffic_{usage}_{tsn}.txt"), "a") as f:
             f.write(f"{self.umac.ssi}\n")
+        if self.decode_voice:
+            self._decode_voice_slot(type4, usage, tsn)
+
+    def _decode_voice_slot(self, type4: np.ndarray, usage: int, tsn: int):
+        """Beyond-reference capability: run the TCH/S speech FEC chain
+        (rate-1/3 Viterbi per protection class) + ACELP reordering and
+        append the two 137-bit codec frames per slot to a .cod file.
+        The reference ships these components unwired (SURVEY §3.5,
+        TODO:1-2) and dumps raw soft bits instead."""
+        import jax.numpy as jnp
+        from tetra_tpu.ops import acelp
+        from tetra_tpu.crypto.crypto import decrypt_voice_timeslot
+        c0, c1, c2, ok1, ok2 = acelp.tch_s_decode(jnp.asarray(type4[None, :432]))
+        # speech line bits: class0 | class1 | class2 = 102+108+64 = 274
+        line = np.concatenate([np.asarray(c0)[0], np.asarray(c1)[0],
+                               np.asarray(c2)[0]])
+        codec = np.asarray(acelp.type2_to_codec(jnp.asarray(line[None])))[0]
+        path = os.path.join(self.dumpdir, f"voice_{usage}_{tsn}.cod")
+        with open(path, "ab") as f:
+            f.write(np.packbits(codec.astype(np.uint8)).tobytes())
 
     def _dispatch(self, res, lchan: int, blk_num: int, type1_len: int, name: str):
         ok = self._crc_log(name, res, type1_len) if name != "BBK" else True
