@@ -115,6 +115,44 @@ def main():
     chain_samples_per_s = d_samples / (chain_times[C_CARR] - chain_times[C_CARR // 4])
     chain_carriers = chain_samples_per_s / 36000.0
 
+    # ---- wideband: 512-channel PFB front end + full chain ----
+    from tetra_tpu.phy import pfb as pfb_mod
+    from tetra_tpu import constants as Ct
+    N_CHAN = 512
+    FS_WIDE = N_CHAN * 25_000.0
+
+    def wide_step_factory(n_slots):
+        @jax.jit
+        def wide_step(wre, wim, i):
+            cr, ci = pfb_mod.pfb_to_demod_rate_ri(
+                wre, wim, jnp.arange(N_CHAN, dtype=jnp.int32), N_CHAN, FS_WIDE)
+            out = steady.locked_step_ri(cr, ci, i, phase_bit=64,
+                                        n_slots=n_slots, decoders=("schf",))
+            return out["kinds"].sum() + out["crc_ok"].astype(jnp.int32).sum()
+        return wide_step
+
+    wide_times = {}
+    rng2 = np.random.default_rng(1)
+    for n_slots in (8, 24):
+        # channel streams need 64 + n_slots*510 + 64 bits at 36 kHz
+        need_36k = 64 + n_slots * 510 + 64
+        m_chan = int(need_36k * 50_000.0 / 36_000.0) + 80
+        T_wide = (m_chan + 2 * 16) * (N_CHAN // 2)
+        wre = jnp.asarray(rng2.normal(0, 1, T_wide).astype(np.float32))
+        wim = jnp.asarray(rng2.normal(0, 1, T_wide).astype(np.float32))
+        idd = jnp.asarray(np.full(N_CHAN, init, np.uint32))
+        step_w = wide_step_factory(n_slots)
+        v = int(step_w(wre, wim, idd))
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            v = int(step_w(wre, wim, idd))
+            best = min(best, time.perf_counter() - t0)
+        wide_times[n_slots] = (best, T_wide)
+    d_wide = wide_times[24][1] - wide_times[8][1]
+    wide_samples_per_s = d_wide / (wide_times[24][0] - wide_times[8][0])
+    wide_carriers = wide_samples_per_s / FS_WIDE * N_CHAN
+
     result = {
         "metric": "realtime_carriers_per_chip",
         "value": round(chain_carriers, 1),
@@ -122,6 +160,8 @@ def main():
         "vs_baseline": round(chain_carriers / 1000.0, 3),
         "fullchain_msamples_per_s": round(chain_samples_per_s / 1e6, 1),
         "fullchain_crc_ok_frac": chain_ok,
+        "wideband_msamples_per_s": round(wide_samples_per_s / 1e6, 1),
+        "wideband_realtime_carriers": round(wide_carriers, 1),
         "fec_only_slots_per_s": round(slots_per_s, 1),
         "fec_only_carriers": round(fec_carriers, 1),
         "fec_crc_ok_frac": ok_frac,

@@ -49,3 +49,32 @@ class TestMultiCarrier:
                     if e[0] == "RESOURCE" and e[1].addr.type == 1]
             assert ssis == [base_ssi, base_ssi + 1, base_ssi + 2]
         assert all(s.crc_wrong == 0 for s in stats)
+
+
+class TestPfbMultiCarrier:
+    def test_two_carriers_via_pfb(self):
+        """Same two-cell scenario routed through the polyphase filterbank
+        front end (channels on the PFB grid)."""
+        from tetra_tpu.rx_multi import MultiCarrierReceiver
+        n_chan = 8
+        fs = n_chan * 25_000.0
+        bits_a = _capture_bits(262, 42, 1, 0x200, seed=1)
+        bits_b = _capture_bits(901, 7, 5, 0x300, seed=2)
+        n = min(len(bits_a), len(bits_b)) & ~1
+        bits = np.stack([bits_a[:n], bits_b[:n]])
+        base = dqpsk.modulate(bits, sps=2)
+        chans = [1, 6]   # channel 6 ≡ -2 (negative frequency side)
+        offsets = np.array([c * fs / n_chan for c in chans], np.float32)
+        offsets = np.where(offsets > fs / 2, offsets - fs, offsets)
+        wide = channelizer.synthesize_wideband(base, offsets, fs=fs)
+
+        mrx = MultiCarrierReceiver([], fs=fs, pfb_channels=chans, n_chan=n_chan)
+        stats = mrx.process_iq(wide)
+        rx_a, rx_b = mrx.carriers
+        assert (rx_a.mcc, rx_a.mnc, rx_a.colour_code) == (262, 42, 1)
+        assert (rx_b.mcc, rx_b.mnc, rx_b.colour_code) == (901, 7, 5)
+        for rx, base_ssi in ((rx_a, 0x200), (rx_b, 0x300)):
+            ssis = [e[1].addr.ssi for e in rx.umac.events
+                    if e[0] == "RESOURCE" and e[1].addr.type == 1]
+            assert ssis == [base_ssi, base_ssi + 1, base_ssi + 2]
+        assert all(s.crc_wrong == 0 for s in stats)

@@ -68,14 +68,26 @@ def pfb_channelize_ri(re, im, n_chan: int, taps_per_branch: int = 16):
     hj = jnp.asarray(h.reshape(taps_per_branch, n_chan))        # [J, C]
 
     def frames(x):
+        # b[m, k] = Σ_j x[mH + jC + k] h[jC + k], computed as 2J shifted
+        # multiply-adds over the hop-strided view — O(T) memory instead of
+        # materialising a [M, J·C] gather (2J× the input size)
         x = jnp.asarray(x, jnp.float32)
         T = x.shape[-1]
         M = max((T - nfilt) // hop + 1, 1)
-        idx = (jnp.arange(M) * hop)[:, None] + jnp.arange(nfilt)[None, :]
-        xf = x[..., idx]                                        # [.., M, JC]
-        xf = xf.reshape(*xf.shape[:-1], taps_per_branch, n_chan)
-        return jnp.einsum("...mjc,jc->...mc", xf, hj,
-                          preferred_element_type=jnp.float32)   # [.., M, C]
+        nblk = T // hop
+        u = x[..., : nblk * hop].reshape(*x.shape[:-1], nblk, hop)
+        acc_lo = jnp.zeros(x.shape[:-1] + (M, hop), jnp.float32)
+        acc_hi = jnp.zeros(x.shape[:-1] + (M, hop), jnp.float32)
+        for l in range(2 * taps_per_branch):
+            # window offset l*hop covers filter taps [l*hop, (l+1)*hop)
+            j, half = divmod(l, 2)
+            w = hj[j, half * hop:(half + 1) * hop]               # [hop]
+            seg = u[..., l: l + M, :] * w
+            if half == 0:
+                acc_lo = acc_lo + seg
+            else:
+                acc_hi = acc_hi + seg
+        return jnp.concatenate([acc_lo, acc_hi], axis=-1)        # [.., M, C]
 
     br_r = frames(re)
     br_i = frames(im)

@@ -21,12 +21,18 @@ __all__ = ["MultiCarrierReceiver"]
 class MultiCarrierReceiver:
     def __init__(self, offsets_hz, fs: float, sps: int = 2,
                  keystore_path: str | None = None,
-                 dumpdir: str | None = None, log=None):
+                 dumpdir: str | None = None, log=None,
+                 pfb_channels=None, n_chan: int | None = None):
         self.offsets = np.asarray(offsets_hz, dtype=np.float32)
         self.fs = float(fs)
         self.sps = sps
+        self.pfb_channels = (np.asarray(pfb_channels, np.int32)
+                             if pfb_channels is not None else None)
+        self.n_chan = n_chan if n_chan is not None else int(round(fs / 25_000.0))
         self.carriers = []
-        for i in range(len(self.offsets)):
+        n_carriers = (len(self.pfb_channels) if self.pfb_channels is not None
+                      else len(self.offsets))
+        for i in range(n_carriers):
             carrier_log = log if log is not None else (lambda *a, **k: None)
             self.carriers.append(TetraReceiver(
                 keystore_path=keystore_path,
@@ -34,11 +40,23 @@ class MultiCarrierReceiver:
                 log=carrier_log))
 
     def process_iq(self, wideband_iq) -> list[RxStats]:
-        """One chunk of wideband complex samples through the full chain."""
-        chans = channelizer.channelize(
-            jnp.asarray(wideband_iq), jnp.asarray(self.offsets), fs=self.fs)
-        syms = dqpsk.demodulate(chans, sps=self.sps)
-        bits = np.asarray(dqpsk.float_to_bits(syms))
+        """One chunk of wideband complex samples through the full chain.
+
+        Uses the mixer-bank channelizer by default; constructing with
+        `pfb_channels` routes through the 2x-oversampled polyphase
+        filterbank instead (O(T·taps) + one DFT instead of O(C·T)).
+        """
+        wideband_iq = np.asarray(wideband_iq)
+        re = jnp.asarray(np.real(wideband_iq).astype(np.float32))
+        im = jnp.asarray(np.imag(wideband_iq).astype(np.float32))
+        if self.pfb_channels is not None:
+            from tetra_tpu.phy import pfb
+            out_r, out_i = pfb.pfb_to_demod_rate_ri(
+                re, im, jnp.asarray(self.pfb_channels), self.n_chan, self.fs)
+        else:
+            out_r, out_i = channelizer.channelize_ri(
+                re, im, jnp.asarray(self.offsets), fs=self.fs)
+        bits = np.asarray(dqpsk.demodulate_hard_ri(out_r, out_i, sps=self.sps))
         return self.process_bits(bits)
 
     def process_bits(self, bits) -> list[RxStats]:
