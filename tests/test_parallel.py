@@ -115,3 +115,31 @@ class TestShardedFullChain:
         np.testing.assert_array_equal(np.asarray(out["schf_type1"]),
                                       np.asarray(ref["schf"].type1))
         assert int(np.asarray(out["crc_ok_total"])) == Cc * S
+
+
+class TestShardedPfb:
+    def test_matches_unsharded(self, devices):
+        from tetra_tpu.parallel.mesh import sharded_pfb_channelize
+        from tetra_tpu.phy import pfb
+        mesh = jax.sharding.Mesh(np.asarray(devices), ("time",))
+        n_chan, J = 16, 16
+        hop = n_chan // 2
+        T = 8 * 64 * hop  # 8 shards x 64 hops
+        rng = np.random.default_rng(5)
+        re = jnp.asarray(rng.normal(0, 1, T).astype(np.float32))
+        im = jnp.asarray(rng.normal(0, 1, T).astype(np.float32))
+
+        fn = sharded_pfb_channelize(mesh, n_chan, J)
+        cr_s, ci_s = fn(re, im)
+        cr_u, ci_u = pfb.pfb_channelize_ri(re, im, n_chan, J)
+
+        # sharded yields T/hop frames; unsharded (T - nfilt)/hop + 1 —
+        # compare the common prefix excluding the last shard's wrap region
+        m_common = np.asarray(cr_u).shape[-1]
+        wrap = (n_chan * J) // hop + 1
+        np.testing.assert_allclose(np.asarray(cr_s)[:, :m_common - wrap],
+                                   np.asarray(cr_u)[:, :m_common - wrap],
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ci_s)[:, :m_common - wrap],
+                                   np.asarray(ci_u)[:, :m_common - wrap],
+                                   rtol=0, atol=1e-4)

@@ -114,6 +114,41 @@ def sharded_locked_step(mesh: Mesh, axis: str = "carrier",
     return jax.jit(sharded)
 
 
+def sharded_pfb_channelize(mesh: Mesh, n_chan: int,
+                           taps_per_branch: int = 16, axis: str = "time"):
+    """Jitted time-sharded wideband channelizer with halo exchange.
+
+    fn(re [T], im [T]) -> (chan_re [C, M], chan_im [C, M]) with the
+    wideband time axis sharded over `axis` and the channel outputs
+    time-sharded the same way. Each shard fetches nfilt - hop wideband
+    samples from its right neighbour via ppermute so WOLA windows
+    spanning the boundary are exact — the multi-host ingest pattern of
+    SURVEY.md §7.2 step 6 (the last shard's windows that would wrap are
+    garbage; mask by absolute position).
+    """
+    from tetra_tpu.phy import pfb as pfb_mod
+    n = mesh.shape[axis]
+    hop = n_chan // 2
+    nfilt = n_chan * taps_per_branch
+    halo = nfilt - hop
+
+    def step(re, im):
+        perm = [(i, (i - 1) % n) for i in range(n)]
+
+        def extend(x):
+            h = jax.lax.ppermute(x[: halo], axis, perm)
+            return jnp.concatenate([x, h], axis=-1)
+
+        return pfb_mod.pfb_channelize_ri(extend(re), extend(im), n_chan,
+                                         taps_per_branch)
+
+    sharded = shard_map(step, mesh=mesh,
+                        in_specs=(P(axis), P(axis)),
+                        out_specs=(P(None, axis), P(None, axis)),
+                        check_rep=False)
+    return jax.jit(sharded)
+
+
 def sharded_match_map(mesh: Mesh, axis: str = "time"):
     """Jitted training-sequence correlation with halo exchange.
 
