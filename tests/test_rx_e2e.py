@@ -182,3 +182,53 @@ class TestVoiceDecode:
         line = np.concatenate([c0, c1, c2v])
         expect = np.asarray(acelp.type2_to_codec(jnp.asarray(line[None])))[0]
         np.testing.assert_array_equal(codec, expect)
+
+
+class TestLlcAdvancedLink:
+    def test_al_defrag_to_mle_and_ip(self):
+        """AL-UDATA fragments + AL-UFINAL reassemble through the LLC
+        defragmenter; the SNDCP payload is forwarded as packed IP bytes
+        (reference tetra_llc.c:40-107)."""
+        from tetra_tpu.llc.llc import LlcState, rx_tm_sdu
+        from tetra_tpu.testpdu import BitBuilder
+        got_tl, got_ip = [], []
+        llcs = LlcState(log=lambda *a, **k: None,
+                        tl_sdu_cb=lambda b, n: got_tl.append(np.asarray(b)[:n]),
+                        ip_cb=lambda pkt: got_ip.append(pkt))
+        rng = np.random.default_rng(1)
+        # SNDCP TL-SDU: pdisc=4 + pdut + nsapi/comp + IP header area + payload
+        ip_payload = rng.integers(0, 2, 19 + 64 + 160).astype(np.int8)
+        tl_sdu = np.asarray(BitBuilder().u(4, 3).raw(ip_payload).array())
+        part1, part2 = tl_sdu[:100], tl_sdu[100:]
+        # AL-UDATA: type 10, ufinal=0, ns(8), ss(8)
+        frag1 = BitBuilder().u(10, 4).u(0, 1).u(5, 8).u(1, 8).raw(part1).array()
+        # AL-UFINAL: type 10, ufinal=1, same ns, next ss
+        frag2 = BitBuilder().u(10, 4).u(1, 1).u(5, 8).u(2, 8).raw(part2).array()
+        rx_tm_sdu(llcs, frag1, len(frag1))
+        assert not got_tl  # nothing emitted yet
+        rx_tm_sdu(llcs, frag2, len(frag2))
+        assert len(got_tl) == 1
+        np.testing.assert_array_equal(got_tl[0], tl_sdu)
+        assert len(got_ip) == 1
+        # IP bytes = payload after the SNDCP+IP header bits, packed
+        from tetra_tpu.utils.bits import pack_bits
+        hdr = 3 + 4 + 4 + 4 + 4
+        expect = pack_bits(tl_sdu[hdr:hdr + (len(tl_sdu) - hdr) // 8 * 8])
+        assert got_ip[0] == expect
+
+    def test_al_missing_segment_skipped(self):
+        """An out-of-order S(S) is reported as MISS and not appended
+        (reference tetra_llc.c:68-77)."""
+        from tetra_tpu.llc.llc import LlcState, rx_tm_sdu
+        from tetra_tpu.testpdu import BitBuilder
+        got_tl = []
+        llcs = LlcState(log=lambda *a, **k: None,
+                        tl_sdu_cb=lambda b, n: got_tl.append(np.asarray(b)[:n]))
+        part = np.ones(40, np.int8)
+        frag1 = BitBuilder().u(10, 4).u(0, 1).u(6, 8).u(1, 8).raw(part).array()
+        # skip ss=2; jump to ss=3 (missed segment)
+        frag3 = BitBuilder().u(10, 4).u(1, 1).u(6, 8).u(3, 8).raw(part).array()
+        rx_tm_sdu(llcs, frag1, len(frag1))
+        rx_tm_sdu(llcs, frag3, len(frag3))
+        # final still emits, but only the first fragment made it in
+        assert len(got_tl) == 1 and len(got_tl[0]) == 40
