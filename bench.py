@@ -33,7 +33,7 @@ def main():
     from tetra_tpu.ops.scramble import scramb_get_init
 
     B_SMALL, B_BIG = 16384, 65536
-    REPS = 3
+    REPS = 7
     init = scramb_get_init(262, 42, 1)
 
     # fixture generation on the host CPU backend (eager TX is many tiny
@@ -66,12 +66,12 @@ def main():
         v = int(step(bd, idd))  # compile + warm
         if B == B_BIG:
             ok_frac = v / B
-        best = float("inf")
+        samples = []
         for _ in range(REPS):
             t0 = time.perf_counter()
             v = int(step(bd, idd))  # scalar fetch forces completion
-            best = min(best, time.perf_counter() - t0)
-        times[B] = best
+            samples.append(time.perf_counter() - t0)
+        times[B] = float(np.median(samples))
 
     slots_per_s = (B_BIG - B_SMALL) / (times[B_BIG] - times[B_SMALL])
     fec_carriers = slots_per_s / (18000.0 / 255.0)
@@ -79,11 +79,12 @@ def main():
     # ---- full chain: DQPSK demod -> slicer -> train-seq verify -> FEC ----
     from tetra_tpu.phy import dqpsk
     from tetra_tpu.lmac import steady
-    C_CARR = 512
-    # one burst row of IQ per carrier, whole-slot aligned at bit 64 with
-    # padding so RRC edge transients fall outside the slots
+    # 64 slots/carrier and a 4x carrier-count gap so the compute delta
+    # (~50+ ms) dominates the per-call overhead noise
+    N_SLOTS = 64
+    C_SMALL, C_BIG = 512, 2048
     pad = np.zeros(64, np.int8)
-    per_carrier_bits = np.concatenate([pad, uniq[:16].reshape(-1), pad])
+    per_carrier_bits = np.concatenate([pad, uniq[:N_SLOTS].reshape(-1), pad])
     iq_row = dqpsk.modulate(per_carrier_bits[None].astype(np.int8), sps=2)[0]
 
     @jax.jit
@@ -91,28 +92,28 @@ def main():
         # traffic steady state: decode the SCH/F interpretation only (a
         # deployment config; sync bursts are ~1 slot in 72 and handled by
         # the acquisition path)
-        out = steady.locked_step_ri(re, im, i, phase_bit=64, n_slots=16,
+        out = steady.locked_step_ri(re, im, i, phase_bit=64, n_slots=N_SLOTS,
                                     decoders=("schf",))
         return out["crc_ok"].astype(jnp.int32).sum()
 
     chain_times = {}
     chain_ok = None
-    for CC in (C_CARR // 4, C_CARR):
+    for CC in (C_SMALL, C_BIG):
         tiled = np.tile(iq_row, (CC, 1))
         re = jnp.asarray(np.real(tiled).astype(np.float32))
         im = jnp.asarray(np.imag(tiled).astype(np.float32))
         idd = jnp.asarray(np.full(CC, init, np.uint32))
         v = int(chain_step(re, im, idd))
-        if CC == C_CARR:
-            chain_ok = v / (CC * 16)
-        best = float("inf")
+        if CC == C_BIG:
+            chain_ok = v / (CC * N_SLOTS)
+        samples = []
         for _ in range(REPS):
             t0 = time.perf_counter()
             v = int(chain_step(re, im, idd))
-            best = min(best, time.perf_counter() - t0)
-        chain_times[CC] = best
-    d_samples = (C_CARR - C_CARR // 4) * iq_row.shape[-1]
-    chain_samples_per_s = d_samples / (chain_times[C_CARR] - chain_times[C_CARR // 4])
+            samples.append(time.perf_counter() - t0)
+        chain_times[CC] = float(np.median(samples))
+    d_samples = (C_BIG - C_SMALL) * iq_row.shape[-1]
+    chain_samples_per_s = d_samples / (chain_times[C_BIG] - chain_times[C_SMALL])
     chain_carriers = chain_samples_per_s / 36000.0
 
     # ---- wideband: 512-channel PFB front end + full chain ----
@@ -143,12 +144,12 @@ def main():
         idd = jnp.asarray(np.full(N_CHAN, init, np.uint32))
         step_w = wide_step_factory(n_slots)
         v = int(step_w(wre, wim, idd))
-        best = float("inf")
+        samples = []
         for _ in range(REPS):
             t0 = time.perf_counter()
             v = int(step_w(wre, wim, idd))
-            best = min(best, time.perf_counter() - t0)
-        wide_times[n_slots] = (best, T_wide)
+            samples.append(time.perf_counter() - t0)
+        wide_times[n_slots] = (float(np.median(samples)), T_wide)
     d_wide = wide_times[24][1] - wide_times[8][1]
     wide_samples_per_s = d_wide / (wide_times[24][0] - wide_times[8][0])
     wide_carriers = wide_samples_per_s / FS_WIDE * N_CHAN
