@@ -78,3 +78,31 @@ class TestSteady:
                                     phase_bit=64, n_slots=S)
         np.testing.assert_array_equal(np.asarray(out["kinds"]), kinds)
         assert np.asarray(out["crc_ok"]).all()
+
+
+class TestGroupedDecode:
+    def test_matches_full_decode(self):
+        slots, kinds, payloads = _mixed_slots(n_carriers=3, n_slots=5, seed=9)
+        flat = slots.reshape(-1, 510)
+        flat_kinds = np.asarray(steady.verify_train_seq(jnp.asarray(flat)))
+        inits = np.full(len(flat), INIT, np.uint32)
+        groups = steady.grouped_decode(flat, inits, flat_kinds)
+        # every slot accounted for exactly once
+        seen = np.concatenate([idx for idx, _ in groups.values()])
+        assert sorted(seen.tolist()) == list(range(len(flat)))
+        # payload spot-checks against the flat index space
+        n_slots = slots.shape[1]
+        for (c, s), payload in payloads.items():
+            fi = c * n_slots + s
+            if kinds[c, s] == 1:
+                idx, res = groups["schf"]
+                row = int(np.nonzero(idx == fi)[0][0])
+                np.testing.assert_array_equal(res["SCH_F"].type1[row], payload)
+                assert res["SCH_F"].crc_ok[row]
+            elif kinds[c, s] == 2:
+                idx, res = groups["ndb"]
+                row = int(np.nonzero(idx == fi)[0][0])
+                np.testing.assert_array_equal(res["NDB1"].type1[row], payload[0])
+                np.testing.assert_array_equal(res["NDB2"].type1[row], payload[1])
+        idx, res = groups["sync"]
+        assert res["SB1"].crc_ok.all() and res["SB2"].crc_ok.all()

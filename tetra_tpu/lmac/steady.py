@@ -115,3 +115,49 @@ def locked_step_iq(iq, inits, phase_bit: int = 0, sps: int = 2,
     return locked_step_ri(jnp.real(iq).astype(jnp.float32),
                           jnp.imag(iq).astype(jnp.float32), inits,
                           phase_bit=phase_bit, sps=sps, n_slots=n_slots)
+
+
+def _bucket(n: int) -> int:
+    """Next power-of-two bucket (bounds the set of compiled shapes)."""
+    b = 1
+    while b < n:
+        b <<= 1
+    return b
+
+
+def grouped_decode(slots, slot_inits, kinds):
+    """Mixed-traffic decode without redundant interpretations.
+
+    Instead of running every burst interpretation on every slot
+    (locked_step_bits), classify first, then gather each kind into its
+    own padded batch and run only that kind's decoder — reclaiming the
+    ~2.8x redundant Viterbi work at the cost of one small host
+    round-trip for the kind map. Batch sizes are padded to power-of-two
+    buckets so recompiles are bounded.
+
+    slots: host/device array [N, 510]; slot_inits [N] uint32;
+    kinds [N] int32 (0 sync / 1 schf / 2 ndb, from verify_train_seq).
+    Returns {kind_name: (indices, results_dict)}.
+    """
+    slots = np.asarray(slots)
+    slot_inits = np.asarray(slot_inits, dtype=np.uint32)
+    kinds = np.asarray(kinds)
+    out = {}
+    groups = {"sync": (0, pipeline.decode_sync_burst),
+              "schf": (1, pipeline.decode_schf_burst),
+              "ndb": (2, pipeline.decode_ndb_burst)}
+    for name, (kind_val, fn) in groups.items():
+        idx = np.nonzero(kinds == kind_val)[0]
+        if len(idx) == 0:
+            continue
+        b = _bucket(len(idx))
+        pad_idx = np.concatenate([idx, np.repeat(idx[-1], b - len(idx))])
+        batch = jnp.asarray(slots[pad_idx].astype(np.int8))
+        inits = jnp.asarray(slot_inits[pad_idx])
+        res = fn(batch, inits)
+        trimmed = {k: pipeline.BlockResult(np.asarray(v.type1)[: len(idx)],
+                                           np.asarray(v.crc_ok)[: len(idx)],
+                                           np.asarray(v.type2)[: len(idx)])
+                   for k, v in res.items()}
+        out[name] = (idx, trimmed)
+    return out
