@@ -153,3 +153,20 @@ class TestLiveReceiver:
         t.join()
         assert rx.stats.bursts >= 3
         assert rx.stats.crc_ok >= 4
+
+
+class TestRxTracing:
+    def test_stage_taps_from_receiver(self):
+        from tests.test_rx_e2e import build_capture
+        from tetra_tpu.rx import TetraReceiver
+        bits, _ = build_capture(n_frames=1)
+        trace.set_level(2)
+        try:
+            rx = TetraReceiver(log=lambda *a: None)
+            rx.process_bits(bits)
+            assert trace.taps("aligned_slots")
+            assert trace.taps("type1_SB1")
+            assert trace.taps("type1_SCH/F")
+        finally:
+            trace.set_level(0)
+            trace.clear_taps()

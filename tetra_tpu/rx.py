@@ -126,6 +126,10 @@ class TetraReceiver:
 
     def _crc_log(self, name: str, res, type1_len: int) -> bool:
         """CRC COMP log lines (reference tetra_lower_mac.c:258-267)."""
+        from tetra_tpu.utils import trace
+        if trace.enabled(2):
+            trace.tap(f"type1_{name}", np.asarray(res.type1),
+                      meta={"time": self.time.dump()})
         ok = bool(np.asarray(res.crc_ok))
         # reproduce the numeric value for the log line
         from tetra_tpu.ops.crc import crc16_bits_np
@@ -224,10 +228,14 @@ class TetraReceiver:
         chunk = np.asarray(bits, dtype=np.uint8).reshape(-1) & 1
         self._buf = np.concatenate([self._buf, chunk])
         bits = self._buf
+        from tetra_tpu.utils import trace
         events: list = []
         slots = sync_mod.align_stream(bits, events=events,
                                       carry=self._sync_carry,
                                       base_offset=self._buf_base)
+        if trace.enabled(2):
+            trace.tap("aligned_slots",
+                      np.asarray([(s.offset, s.train_id) for s in slots]))
         for e in events:
             if e.kind == "found_sync":
                 self.log(f"found SYNC training sequence in bit #{e.offset + self._buf_base}")
