@@ -71,8 +71,9 @@ def _make_kernel(n_sym: int, n_out: int, tile_b: int):
 
         def acs_step(t, _):
             sym = soft_ref[pl.ds(t, 1)][0]                      # [N, tile]
-            bm = jnp.dot(sgn, sym, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)   # [32, tile]
+            # ±1 signs x {±127, 0} soft values: products are integers
+            # < 256, exact in the MXU's bf16 multiplies (f32 accumulate)
+            bm = jnp.dot(sgn, sym, preferred_element_type=jnp.float32)  # [32, tile]
             m = metric_ref[:]                                   # [16, tile]
             c = jnp.dot(psel, m, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST) + bm
@@ -94,16 +95,15 @@ def _make_kernel(n_sym: int, n_out: int, tile_b: int):
 
         def tb_step(i, onehot):
             t = n_sym - 1 - i
+            # one-hot operands: exact at default MXU precision
             bit = jnp.dot(sbits_ref[:], onehot,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)    # [1, tile]
+                          preferred_element_type=jnp.float32)     # [1, tile]
             bits_ref[pl.ds(t, 1), :, :] = bit.astype(jnp.int8)[None]
             took = dec_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)  # [16, tile]
             sel1 = onehot * took
             sel0 = onehot - sel1
             selcat = jnp.concatenate([sel0, sel1], axis=0)        # [32, tile]
-            prev = jnp.dot(tbT, selcat, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+            prev = jnp.dot(tbT, selcat, preferred_element_type=jnp.float32)
             return prev
 
         jax.lax.fori_loop(0, n_sym, tb_step, onehot)
