@@ -68,6 +68,13 @@ def loopback_soak(iterations: int = 100, seed: int = 0) -> int:
 
 
 def main(argv=None):
+    # correctness tool: pin the CPU backend (the TPU plugin ignores
+    # JAX_PLATFORMS; eager TX ops would compile one executable per op)
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     rc = punct_test()
     if rc:
         print(f"puncture self-test: {rc} FAILURES")
