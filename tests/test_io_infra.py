@@ -170,3 +170,35 @@ class TestRxTracing:
         finally:
             trace.set_level(0)
             trace.clear_taps()
+
+
+class TestNameTableLint:
+    """The jenkins.sh value_string-termination linter analogue: every
+    enum has a complete name table (contrib/jenkins.sh:22)."""
+
+    def test_llc_names_cover_enum(self):
+        from tetra_tpu.llc.llc_pdu import LlcPduDec, PDU_DEC_NAMES
+        for v in LlcPduDec:
+            assert v in PDU_DEC_NAMES, v
+
+    def test_lchan_names_cover_ids(self):
+        from tetra_tpu.umac.upper_mac import LogicalChannel
+        for v in range(12):
+            assert v in LogicalChannel.NAMES, v
+
+    def test_macpdu_and_addr_names(self):
+        from tetra_tpu.umac import mac_pdu
+        for v in range(4):
+            assert v in mac_pdu.MACPDU_NAMES
+        for v in range(8):
+            assert v in mac_pdu.ADDR_TYPE_NAMES
+        for v in range(4):
+            assert v in mac_pdu.ALLOC_TYPE_NAMES
+            assert v in mac_pdu.UL_DL_NAMES
+
+    def test_mle_name_tables(self):
+        from tetra_tpu.mle import mle
+        assert all(mle.mm_pdut_name(v) for v in (0, 5, 12))
+        assert all(mle.cmce_pdut_name(v) for v in (1, 8, 16))
+        assert all(mle.sndcp_pdut_name(v) for v in (0, 4, 13))
+        assert all(mle.mle_pdisc_name(v) for v in (1, 2, 4, 5))
