@@ -27,6 +27,14 @@ import numpy as np
 
 def main():
     import jax
+    # persistent compile cache: the remote TPU compiler takes 30-120 s per
+    # program; repeated runs (CI / driver) hit the cache instead
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tetra_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from tetra_tpu.lmac import pipeline
     from tetra_tpu import tx
