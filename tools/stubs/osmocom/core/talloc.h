@@ -1,0 +1,12 @@
+/* Minimal stand-in for libosmocore's talloc.h (oracle build only). */
+#ifndef STUB_OSMOCOM_TALLOC_H
+#define STUB_OSMOCOM_TALLOC_H
+
+#include <stdlib.h>
+
+#define talloc_zero(ctx, type) ((type *)calloc(1, sizeof(type)))
+#define talloc_free(ptr) free(ptr)
+
+extern void *tetra_tall_ctx;
+
+#endif
