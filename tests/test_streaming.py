@@ -16,7 +16,7 @@ def _run(bits, chunk=None):
         rx.process_bits(bits)
     else:
         for i in range(0, len(bits), chunk):
-            rx.process_bits(bits[i:i + chunk])
+            rx.process_bits(bits[i:i + chunk], final=i + chunk >= len(bits))
     return rx, lines
 
 
@@ -70,28 +70,26 @@ class TestCheckpoint:
         bits, _ = build_capture()
         half = len(bits) // 2
 
+        import dataclasses
+
         rx1 = TetraReceiver(log=lambda *a: None)
-        rx1.process_bits(bits[:half])
+        rx1.process_bits(bits[:half], final=False)
         # snapshot tiny state
         snap = {
-            "carry": (rx1._sync_carry.state, rx1._sync_carry.pos,
-                      rx1._sync_carry.next_frame_start, rx1._sync_carry.slot_index),
+            "carry": dataclasses.replace(rx1._sync_carry),
             "buf": rx1._buf.copy(), "buf_base": rx1._buf_base,
             "time": (rx1.time.hn, rx1.time.mn, rx1.time.fn, rx1.time.tn, rx1.time.sn),
             "scramb_init": rx1.scramb_init,
             "cell": (rx1.mcc, rx1.mnc, rx1.colour_code),
-            "last_step": rx1._last_step,
         }
         rx1.process_bits(bits[half:])
 
         rx2 = TetraReceiver(log=lambda *a: None)
-        (rx2._sync_carry.state, rx2._sync_carry.pos,
-         rx2._sync_carry.next_frame_start, rx2._sync_carry.slot_index) = snap["carry"]
+        rx2._sync_carry = dataclasses.replace(snap["carry"])
         rx2._buf, rx2._buf_base = snap["buf"], snap["buf_base"]
         (rx2.time.hn, rx2.time.mn, rx2.time.fn, rx2.time.tn, rx2.time.sn) = snap["time"]
         rx2.scramb_init = snap["scramb_init"]
         rx2.mcc, rx2.mnc, rx2.colour_code = snap["cell"]
-        rx2._last_step = snap["last_step"]
         rx2.process_bits(bits[half:])
 
         # the resumed receiver decodes the second half identically

@@ -79,7 +79,11 @@ class TetraReceiver:
         self.scramb_init = 0         # cell scrambling code (tetra_cell_data)
         self.mcc = self.mnc = self.colour_code = 0
         self.stats = RxStats()
-        self._last_step = 0
+        self._ev_ptr = 0
+        # optional TMV-SAP record tap: set to a list to collect one
+        # tuple per UNITDATA.ind, mirroring tools/ref_rx.c's REC lines
+        # for differential parity testing
+        self.tmv_records: list | None = None
         # streaming state: retained bit buffer + resumable sync carry
         # (the analogue of the reference's 4096-bit ring, tetra_burst_sync.h:17)
         self._buf = np.zeros(0, dtype=np.uint8)
@@ -94,15 +98,10 @@ class TetraReceiver:
         self.log(" ".join(str(a) for a in args) + ("" if end == "" else ""))
 
     def _trim_buffer(self):
-        """Drop consumed bits, keeping at most the reference's 4096-bit
-        ring depth behind the synchroniser's resume position."""
-        cy = self._sync_carry
-        end = self._buf_base + len(self._buf)
-        if cy.state == "UNLOCKED":
-            keep_from = max(self._buf_base, end - self._ring_bits)
-            cy.pos = max(cy.pos, keep_from)
-        else:
-            keep_from = min(cy.pos, cy.next_frame_start)
+        """Drop consumed bits: the synchroniser's virtual ring buffer
+        starts at carry.buf_start and is at most 4096 bits deep
+        (tetra_burst_sync.h:17), so everything before it is dead."""
+        keep_from = max(self._buf_base, self._sync_carry.buf_start)
         drop = keep_from - self._buf_base
         if drop > 0:
             self._buf = self._buf[drop:]
@@ -207,39 +206,70 @@ class TetraReceiver:
         with open(path, "ab") as f:
             f.write(np.packbits(codec.astype(np.uint8)).tobytes())
 
+    def _record_tmv(self, lchan: int, ok, blk_num: int, bits):
+        if self.tmv_records is not None:
+            b = np.asarray(bits)
+            self.tmv_records.append(
+                (self.time.tn, self.time.fn, self.time.mn, int(lchan),
+                 int(bool(ok)), int(blk_num), len(b),
+                 "".join(str(int(x)) for x in b)))
+
     def _dispatch(self, res, lchan: int, blk_num: int, type1_len: int, name: str):
         ok = self._crc_log(name, res, type1_len) if name != "BBK" else True
         if name == "BBK":
             # reference: no RM3014 check, crc_ok=1 (tetra_lower_mac.c:268-271)
             self.log(f"{name} {self.time.dump()} type1: "
                      f"{self._ubits_str(np.asarray(res.type1))}")
+        self._record_tmv(lchan, ok, blk_num, res.type1)
         self.umac.rx_slot(np.asarray(res.type1), lchan, ok, self.time,
                           blk_num=blk_num, scrambling_code=self.scramb_init)
 
     # ---- main entry ----
 
-    def process_bits(self, bits: np.ndarray) -> RxStats:
+    def _flush_events(self, events: list, upto_seq: int):
+        """Emit sync events in reference order: the TDMA clock advances
+        and 'BURST' prints once per processed slot — including lost
+        ones — exactly like tetra_burst_sync.c:113-116/125-141."""
+        while self._ev_ptr < len(events) and events[self._ev_ptr].seq <= upto_seq:
+            e = events[self._ev_ptr]
+            self._ev_ptr += 1
+            if e.kind == "found_sync":
+                self.log(f"found SYNC training sequence in bit #{e.detail}")
+            elif e.kind == "burst":
+                self.time.add_tn(1)
+                self.log("\nBURST")
+                self.stats.bursts += 1
+                self.stats.slots += 1
+            elif e.kind == "lost":
+                self.log("#### could not find successive burst training sequence")
+            elif e.kind == "bad_offset":
+                self.log(f"#### SYNC burst at offset {e.detail}?!?")
+
+    def process_bits(self, bits: np.ndarray, final: bool = True) -> RxStats:
         """Decode a chunk of unpacked hard bits (1 bit per byte/element).
 
-        Streaming: partial bursts at the chunk edge are retained and the
-        synchroniser resumes across calls, so feeding one capture in
-        arbitrary chunks is equivalent to feeding it whole.
+        Streaming: pass final=False for mid-stream chunks — partial
+        feed quanta at the chunk edge are retained and the synchroniser
+        resumes across calls, so feeding one capture in arbitrary
+        chunks is equivalent to feeding it whole. final=True (default)
+        treats the chunk end as EOF, like the reference's last short
+        read().
         """
         chunk = np.asarray(bits, dtype=np.uint8).reshape(-1) & 1
         self._buf = np.concatenate([self._buf, chunk])
         bits = self._buf
         from tetra_tpu.utils import trace
         events: list = []
+        self._ev_ptr = 0
         slots = sync_mod.align_stream(bits, events=events,
                                       carry=self._sync_carry,
-                                      base_offset=self._buf_base)
+                                      base_offset=self._buf_base,
+                                      flush=final)
         if trace.enabled(2):
             trace.tap("aligned_slots",
                       np.asarray([(s.offset, s.train_id) for s in slots]))
-        for e in events:
-            if e.kind == "found_sync":
-                self.log(f"found SYNC training sequence in bit #{e.offset + self._buf_base}")
         if not slots:
+            self._flush_events(events, 1 << 62)
             self._trim_buffer()
             return self.stats
 
@@ -309,11 +339,7 @@ class TetraReceiver:
 
         # ---- host phase: stream-order upper-MAC walk ----
         for i, s in enumerate(slots):
-            self.time.add_tn(s.slot_index - self._last_step)
-            self._last_step = s.slot_index
-            self.log("\nBURST")
-            self.stats.bursts += 1
-            self.stats.slots += 1
+            self._flush_events(events, s.seq)
 
             if s.train_id == C.TETRA_TRAIN_SYNC:
                 n = pos_in[("SYNC", i)]
@@ -321,6 +347,7 @@ class TetraReceiver:
                 bbk = pipeline.BlockResult(*(np.asarray(x[n]) for x in dec_sync["BBK"]))
                 sb2 = pipeline.BlockResult(*(np.asarray(x[n]) for x in dec_sync["SB2"]))
                 sb1_ok = self._rx_sb1(sb1)
+                self._record_tmv(LogicalChannel.BSCH, sb1_ok, 1, sb1.type1)
                 self.umac.rx_slot(sb1.type1, LogicalChannel.BSCH, sb1_ok,
                                   self.time, blk_num=1)
                 self._dispatch(bbk, LogicalChannel.AACH, 0, 14, "BBK")
@@ -355,6 +382,7 @@ class TetraReceiver:
                 else:
                     self._dispatch(nd1, LogicalChannel.UNKNOWN, 1, 124, "NDB")
                     self._dispatch(nd2, LogicalChannel.UNKNOWN, 2, 124, "NDB")
+        self._flush_events(events, 1 << 62)
         self._trim_buffer()
         return self.stats
 

@@ -11,11 +11,15 @@ from dataclasses import dataclass, field
 
 @dataclass
 class TdmaTime:
+    """Counters start at zero like the reference's talloc_zero'd state
+    (tetra-rx.c:49, static t_phy_state) — the nominally-invalid 0
+    values persist until the first decoded SYNC PDU sets real time,
+    and the parity oracle sees exactly that."""
     hn: int = 0   # hyperframe (1..65535)
-    mn: int = 1   # multiframe (1..60)
-    fn: int = 1   # frame (1..18)
-    tn: int = 1   # timeslot (1..4)
-    sn: int = 1   # symbol (1..255)
+    mn: int = 0   # multiframe (1..60)
+    fn: int = 0   # frame (1..18)
+    tn: int = 0   # timeslot (1..4)
+    sn: int = 0   # symbol (1..255)
 
     def _norm_mn(self):
         if self.mn > 60:
