@@ -78,3 +78,35 @@ class TestPfbMultiCarrier:
                     if e[0] == "RESOURCE" and e[1].addr.type == 1]
             assert ssis == [base_ssi, base_ssi + 1, base_ssi + 2]
         assert all(s.crc_wrong == 0 for s in stats)
+
+
+class TestMultiVsSingle:
+    def test_equivalence_on_corrupted_streams(self):
+        """The vectorised multi-carrier path (sync_vec + cross-carrier
+        batched decode) produces exactly the per-carrier TetraReceiver
+        results — logs, stats, upper-MAC events — on damaged streams."""
+        from tetra_tpu.rx import TetraReceiver
+        from tests.test_sync_vec import make_stream
+
+        B = 12
+        streams = [make_stream(5000 + b, n_frames=3) for b in range(B)]
+        L = (min(len(s) for s in streams) // 64) * 64
+        batch = np.stack([s[:L] for s in streams])
+
+        logs_multi = [[] for _ in range(B)]
+        loggers = [
+            (lambda *a, _l=logs_multi[c]: _l.append(
+                " ".join(str(x) for x in a))) for c in range(B)]
+        mrx = MultiCarrierReceiver(np.zeros(B, np.float32),
+                                   fs=25_000.0 * B, log=loggers)
+        stats_multi = mrx.process_bits(batch)
+
+        for c in range(B):
+            lines = []
+            rx = TetraReceiver(log=lambda *a, _l=lines: _l.append(
+                " ".join(str(x) for x in a)))
+            rx.process_bits(batch[c], final=False)
+            assert lines == logs_multi[c], f"carrier {c} logs diverged"
+            assert rx.stats == stats_multi[c], f"carrier {c} stats diverged"
+            assert (len(rx.umac.events)
+                    == len(mrx.carriers[c].umac.events)), c

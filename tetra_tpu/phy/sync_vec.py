@@ -205,7 +205,9 @@ class MultiSync:
     def scan(self, bits, base_offset: int = 0):
         """bits [B, L] covering absolute [base_offset, base_offset+L).
         Only whole feed quanta are consumed (callers keep the tail).
-        Returns (slots_per_carrier, events_per_carrier)."""
+        Returns (slots_per_carrier, events_per_carrier); offsets are
+        ABSOLUTE stream positions (unlike align_stream's chunk-relative
+        ones), since multi-carrier callers slice a shared ring."""
         cy = self.carry
         bits = np.asarray(bits, dtype=np.uint8)
         B, L = bits.shape
@@ -241,27 +243,25 @@ class MultiSync:
                     seq += 1
                     events[b].append(SyncEvent(
                         "found_sync",
-                        int(out["found_q"][t, b]), int(out["found_rel"][t, b]),
-                        seq))
+                        int(out["found_q"][t, b]) + base_offset,
+                        int(out["found_rel"][t, b]), seq))
                     continue
                 sidx += 1
                 seq += 1
                 burst_seq = seq
-                events[b].append(SyncEvent("burst", int(out["slot"][t, b]),
-                                           0, burst_seq))
+                slot_abs = int(out["slot"][t, b]) + base_offset
+                events[b].append(SyncEvent("burst", slot_abs, 0, burst_seq))
                 if out["emit"][t, b]:
                     slots[b].append(AlignedSlot(
-                        int(out["slot"][t, b]), _PRIO[int(out["col"][t, b])],
+                        slot_abs, _PRIO[int(out["col"][t, b])],
                         sidx, burst_seq))
                 elif out["bad"][t, b]:
                     seq += 1
-                    events[b].append(SyncEvent("bad_offset",
-                                               int(out["slot"][t, b]),
+                    events[b].append(SyncEvent("bad_offset", slot_abs,
                                                int(out["bad_rel"][t, b]), seq))
                 elif out["lost"][t, b]:
                     seq += 1
-                    events[b].append(SyncEvent("lost", int(out["slot"][t, b]),
-                                               0, seq))
+                    events[b].append(SyncEvent("lost", slot_abs, 0, seq))
 
         # persist carry with absolute positions
         cy.state = np.asarray(st, np.int64)

@@ -54,6 +54,87 @@ class RxStats:
     bursts: int = 0
 
 
+def decode_slots_multi(streams, slots_per, start_inits):
+    """Cross-carrier batched two-phase FEC decode.
+
+    streams: per-carrier host bit arrays; slots_per: matching lists of
+    AlignedSlots (offsets relative to each stream); start_inits: each
+    carrier's current cell scrambling code. Phase 1 decodes every SB1
+    (fixed BSCH scrambling) in ONE device call; the per-slot scrambling
+    code is then forward-filled on host per carrier (the
+    tetra_lower_mac.c:283-310 SYNC-side-effect), and phase 2 decodes
+    each burst kind in ONE device call across all carriers — device
+    work is O(1) programs regardless of carrier count.
+
+    Returns, per carrier, a list of per-slot dicts:
+    {"kind": SYNC|SCHF|NDB, <block name>: BlockResult (numpy), "t4":
+     descrambled pre-FEC bits for the traffic dump path}.
+    """
+    from tetra_tpu.ops.scramble import scramb_get_init, scramb_bits
+    from tetra_tpu.phy.burst import split_norm_burst
+
+    entries = [(c, j, s) for c, sl in enumerate(slots_per)
+               for j, s in enumerate(sl)]
+    sync_entries = [e for e in entries
+                    if e[2].train_id == C.TETRA_TRAIN_SYNC]
+
+    # ---- phase 1: all SB1 blocks, one device call ----
+    if sync_entries:
+        bursts = np.stack([streams[c][s.offset:s.offset + 510]
+                           for c, _, s in sync_entries])
+        sb1_t5 = bursts[:, C.SB_BLK1_OFFSET:C.SB_BLK1_OFFSET + C.SB_BLK1_BITS]
+        r = pipeline.decode_block("SB1", jnp.asarray(sb1_t5), jnp.uint32(0))
+        sb1_ok, sb1_t1 = np.asarray(r.crc_ok), np.asarray(r.type1)
+    sync_pos = {(c, j): n for n, (c, j, _) in enumerate(sync_entries)}
+
+    # ---- host: forward-fill per-slot scrambling codes per carrier ----
+    inits = [[0] * len(sl) for sl in slots_per]
+    for c, sl in enumerate(slots_per):
+        cur = start_inits[c]
+        for j, s in enumerate(sl):
+            if s.train_id == C.TETRA_TRAIN_SYNC:
+                n = sync_pos[(c, j)]
+                if bool(sb1_ok[n]):
+                    t1 = sb1_t1[n]
+                    cur = scramb_get_init(bits_to_uint(t1[31:41]),
+                                          bits_to_uint(t1[41:55]),
+                                          bits_to_uint(t1[4:10]))
+            inits[c][j] = cur
+
+    # ---- phase 2: one device call per burst kind ----
+    out = [[None] * len(sl) for sl in slots_per]
+    kind_map = {
+        C.TETRA_TRAIN_SYNC: ("SYNC", pipeline.decode_sync_burst),
+        C.TETRA_TRAIN_NORM_1: ("SCHF", pipeline.decode_schf_burst),
+        C.TETRA_TRAIN_NORM_2: ("NDB", pipeline.decode_ndb_burst),
+    }
+    for tid, (kname, fn) in kind_map.items():
+        sel = [(c, j, s) for (c, j, s) in entries if s.train_id == tid]
+        if not sel:
+            continue
+        bursts = np.stack([streams[c][s.offset:s.offset + 510]
+                           for c, _, s in sel])
+        ii = np.asarray([inits[c][j] for c, j, _ in sel], dtype=np.uint32)
+        res = fn(jnp.asarray(bursts), jnp.asarray(ii))
+        res_np = {k: (np.asarray(v.type1), np.asarray(v.crc_ok),
+                      np.asarray(v.type2)) for k, v in res.items()}
+        t4 = None
+        if kname in ("SCHF", "NDB"):
+            # type-4 bits feed the traffic dump (tetra_lower_mac.c:198-241)
+            _, b1, b2 = split_norm_burst(jnp.asarray(bursts))
+            blk = (jnp.concatenate([b1, b2], axis=-1) if kname == "SCHF"
+                   else b2)
+            t4 = np.asarray(scramb_bits(jnp.asarray(ii), blk))
+        for n, (c, j, s) in enumerate(sel):
+            d = {"kind": kname}
+            for k, (t1a, oka, t2a) in res_np.items():
+                d[k] = pipeline.BlockResult(t1a[n], oka[n], t2a[n])
+            if t4 is not None:
+                d["t4"] = t4[n]
+            out[c][j] = d
+    return out
+
+
 class TetraReceiver:
     def __init__(self, keystore_path: str | None = None,
                  dumpdir: str | None = None,
@@ -268,123 +349,52 @@ class TetraReceiver:
         if trace.enabled(2):
             trace.tap("aligned_slots",
                       np.asarray([(s.offset, s.train_id) for s in slots]))
-        if not slots:
-            self._flush_events(events, 1 << 62)
-            self._trim_buffer()
-            return self.stats
-
-        # ---- device phase 1: SB1 of all sync bursts (fixed scrambling) ----
-        sync_slots = [s for s in slots if s.train_id == C.TETRA_TRAIN_SYNC]
-        sb1_by_offset = {}
-        if sync_slots:
-            bursts = np.stack([bits[s.offset:s.offset + 510] for s in sync_slots])
-            sb1_t5 = bursts[:, C.SB_BLK1_OFFSET:C.SB_BLK1_OFFSET + C.SB_BLK1_BITS]
-            res = pipeline.decode_block("SB1", jnp.asarray(sb1_t5), jnp.uint32(0))
-            for i, s in enumerate(sync_slots):
-                sb1_by_offset[s.offset] = pipeline.BlockResult(
-                    np.asarray(res.type1[i]), np.asarray(res.crc_ok[i]),
-                    np.asarray(res.type2[i]))
-
-        # ---- host: forward-fill the per-slot scrambling code ----
-        cur_init = self.scramb_init
-        slot_inits = []
-        for s in slots:
-            if s.train_id == C.TETRA_TRAIN_SYNC:
-                r = sb1_by_offset[s.offset]
-                if bool(r.crc_ok):
-                    t1 = r.type1
-                    from tetra_tpu.ops.scramble import scramb_get_init
-                    cur_init = scramb_get_init(bits_to_uint(t1[31:41]),
-                                               bits_to_uint(t1[41:55]),
-                                               bits_to_uint(t1[4:10]))
-            slot_inits.append(cur_init)
-
-        # ---- device phase 2: per-kind batched decode ----
-        def batch(idxs, fn):
-            if not idxs:
-                return {}
-            bursts = np.stack([bits[slots[i].offset:slots[i].offset + 510] for i in idxs])
-            inits = np.asarray([slot_inits[i] for i in idxs], dtype=np.uint32)
-            out = fn(jnp.asarray(bursts), jnp.asarray(inits))
-            return {k: pipeline.BlockResult(np.asarray(v.type1), np.asarray(v.crc_ok),
-                                            np.asarray(v.type2)) for k, v in out.items()}
-
-        idx_sync = [i for i, s in enumerate(slots) if s.train_id == C.TETRA_TRAIN_SYNC]
-        idx_schf = [i for i, s in enumerate(slots) if s.train_id == C.TETRA_TRAIN_NORM_1]
-        idx_ndb = [i for i, s in enumerate(slots) if s.train_id == C.TETRA_TRAIN_NORM_2]
-        dec_sync = batch(idx_sync, pipeline.decode_sync_burst)
-        dec_schf = batch(idx_schf, pipeline.decode_schf_burst)
-        dec_ndb = batch(idx_ndb, pipeline.decode_ndb_burst)
-        # type-4 bits for the traffic path (descramble only)
-        t4_schf = t4_ndb2 = None
-        if idx_schf:
-            bursts = np.stack([bits[slots[i].offset:slots[i].offset + 510] for i in idx_schf])
-            inits = np.asarray([slot_inits[i] for i in idx_schf], dtype=np.uint32)
-            from tetra_tpu.ops.scramble import scramb_bits
-            from tetra_tpu.phy.burst import split_norm_burst
-            _, b1, b2 = split_norm_burst(jnp.asarray(bursts))
-            t4_schf = np.asarray(scramb_bits(jnp.asarray(inits),
-                                             jnp.concatenate([b1, b2], axis=-1)))
-        if idx_ndb:
-            bursts = np.stack([bits[slots[i].offset:slots[i].offset + 510] for i in idx_ndb])
-            inits = np.asarray([slot_inits[i] for i in idx_ndb], dtype=np.uint32)
-            from tetra_tpu.ops.scramble import scramb_bits
-            from tetra_tpu.phy.burst import split_norm_burst
-            _, b1, b2 = split_norm_burst(jnp.asarray(bursts))
-            t4_ndb2 = np.asarray(scramb_bits(jnp.asarray(inits), b2))
-
-        pos_in = {("SYNC", i): n for n, i in enumerate(idx_sync)}
-        pos_in.update({("SCHF", i): n for n, i in enumerate(idx_schf)})
-        pos_in.update({("NDB", i): n for n, i in enumerate(idx_ndb)})
-
-        # ---- host phase: stream-order upper-MAC walk ----
-        for i, s in enumerate(slots):
-            self._flush_events(events, s.seq)
-
-            if s.train_id == C.TETRA_TRAIN_SYNC:
-                n = pos_in[("SYNC", i)]
-                sb1 = pipeline.BlockResult(*(np.asarray(x[n]) for x in dec_sync["SB1"]))
-                bbk = pipeline.BlockResult(*(np.asarray(x[n]) for x in dec_sync["BBK"]))
-                sb2 = pipeline.BlockResult(*(np.asarray(x[n]) for x in dec_sync["SB2"]))
-                sb1_ok = self._rx_sb1(sb1)
-                self._record_tmv(LogicalChannel.BSCH, sb1_ok, 1, sb1.type1)
-                self.umac.rx_slot(sb1.type1, LogicalChannel.BSCH, sb1_ok,
-                                  self.time, blk_num=1)
-                self._dispatch(bbk, LogicalChannel.AACH, 0, 14, "BBK")
-                lchan = LogicalChannel.UNKNOWN
-                if is_bnch(self.time):
-                    self.log("BNCH FOLLOWS")
-                    lchan = LogicalChannel.BNCH
-                self._dispatch(sb2, lchan, 2, 124, "SB2")
-            elif s.train_id == C.TETRA_TRAIN_NORM_1:
-                n = pos_in[("SCHF", i)]
-                bbk = pipeline.BlockResult(*(np.asarray(x[n]) for x in dec_schf["BBK"]))
-                schf = pipeline.BlockResult(*(np.asarray(x[n]) for x in dec_schf["SCH_F"]))
-                self._dispatch(bbk, LogicalChannel.AACH, 0, 14, "BBK")
-                if self.umac.cur_burst_is_traffic:
-                    self._dump_traffic(t4_schf[n])
-                else:
-                    self._dispatch(schf, LogicalChannel.SCH_F, 0, 268, "SCH/F")
-            elif s.train_id == C.TETRA_TRAIN_NORM_2:
-                n = pos_in[("NDB", i)]
-                bbk = pipeline.BlockResult(*(np.asarray(x[n]) for x in dec_ndb["BBK"]))
-                nd1 = pipeline.BlockResult(*(np.asarray(x[n]) for x in dec_ndb["NDB1"]))
-                nd2 = pipeline.BlockResult(*(np.asarray(x[n]) for x in dec_ndb["NDB2"]))
-                self._dispatch(bbk, LogicalChannel.AACH, 0, 14, "BBK")
-                if self.umac.cur_burst_is_traffic:
-                    # blk1 stolen in traffic mode (tetra_lower_mac.c:191-196)
-                    self.umac.blk1_stolen = True
-                    self._dispatch(nd1, LogicalChannel.UNKNOWN, 1, 124, "NDB")
-                    if not self.umac.blk2_stolen:
-                        self._dump_traffic(t4_ndb2[n])
-                    else:
-                        self._dispatch(nd2, LogicalChannel.UNKNOWN, 2, 124, "NDB")
-                else:
-                    self._dispatch(nd1, LogicalChannel.UNKNOWN, 1, 124, "NDB")
-                    self._dispatch(nd2, LogicalChannel.UNKNOWN, 2, 124, "NDB")
+        if slots:
+            decoded = decode_slots_multi([bits], [slots],
+                                         [self.scramb_init])[0]
+            for s, d in zip(slots, decoded):
+                self._flush_events(events, s.seq)
+                self._walk_slot(d)
         self._flush_events(events, 1 << 62)
         self._trim_buffer()
         return self.stats
+
+    def _walk_slot(self, d: dict):
+        """Per-slot upper-MAC processing given its decoded blocks
+        (the host half of tp_sap_udata_ind + tetra_burst_rx_cb)."""
+        if d["kind"] == "SYNC":
+            sb1, bbk, sb2 = d["SB1"], d["BBK"], d["SB2"]
+            sb1_ok = self._rx_sb1(sb1)
+            self._record_tmv(LogicalChannel.BSCH, sb1_ok, 1, sb1.type1)
+            self.umac.rx_slot(sb1.type1, LogicalChannel.BSCH, sb1_ok,
+                              self.time, blk_num=1)
+            self._dispatch(bbk, LogicalChannel.AACH, 0, 14, "BBK")
+            lchan = LogicalChannel.UNKNOWN
+            if is_bnch(self.time):
+                self.log("BNCH FOLLOWS")
+                lchan = LogicalChannel.BNCH
+            self._dispatch(sb2, lchan, 2, 124, "SB2")
+        elif d["kind"] == "SCHF":
+            self._dispatch(d["BBK"], LogicalChannel.AACH, 0, 14, "BBK")
+            if self.umac.cur_burst_is_traffic:
+                self._dump_traffic(d["t4"])
+            else:
+                self._dispatch(d["SCH_F"], LogicalChannel.SCH_F, 0, 268,
+                               "SCH/F")
+        elif d["kind"] == "NDB":
+            self._dispatch(d["BBK"], LogicalChannel.AACH, 0, 14, "BBK")
+            if self.umac.cur_burst_is_traffic:
+                # blk1 stolen in traffic mode (tetra_lower_mac.c:191-196)
+                self.umac.blk1_stolen = True
+                self._dispatch(d["NDB1"], LogicalChannel.UNKNOWN, 1, 124, "NDB")
+                if not self.umac.blk2_stolen:
+                    self._dump_traffic(d["t4"])
+                else:
+                    self._dispatch(d["NDB2"], LogicalChannel.UNKNOWN, 2, 124,
+                                   "NDB")
+            else:
+                self._dispatch(d["NDB1"], LogicalChannel.UNKNOWN, 1, 124, "NDB")
+                self._dispatch(d["NDB2"], LogicalChannel.UNKNOWN, 2, 124, "NDB")
 
 
 def main(argv=None):

@@ -2,10 +2,17 @@
 
 The reference achieves multi-carrier operation with one OS process
 chain per carrier glued by FIFOs/UDP (reference src/receiver1:8,
-src/receiver1udp:71-78). Here the whole front end — channelizer, DQPSK
-demod, slicer, training-sequence correlation and FEC — runs as batched
-device programs over the carrier axis, with one host-side control-plane
-(upper MAC/LLC/MLE) instance per carrier consuming the decoded bits.
+src/receiver1udp:71-78). Here the whole signal path runs as batched
+device programs over the carrier axis:
+
+  channelizer + DQPSK demod + slicer      [carriers, samples]  (device)
+  lock state machines                     phy.sync_vec lax.scan (device)
+  two-phase FEC decode                    ONE program per burst kind
+                                          across ALL carriers  (device)
+  upper MAC / LLC / MLE walk              per-carrier host control plane
+
+so host time per chunk is flat in carrier count up to the byte-scale
+control plane (which processes only decoded type-1 bits).
 """
 from __future__ import annotations
 
@@ -13,7 +20,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from tetra_tpu.phy import channelizer, dqpsk
-from tetra_tpu.rx import TetraReceiver, RxStats
+from tetra_tpu.phy.sync_vec import MultiSync
+from tetra_tpu.rx import TetraReceiver, RxStats, decode_slots_multi
 
 __all__ = ["MultiCarrierReceiver"]
 
@@ -33,11 +41,21 @@ class MultiCarrierReceiver:
         n_carriers = (len(self.pfb_channels) if self.pfb_channels is not None
                       else len(self.offsets))
         for i in range(n_carriers):
-            carrier_log = log if log is not None else (lambda *a, **k: None)
+            # `log` may be one callable shared by all carriers or a
+            # per-carrier sequence of callables
+            if log is None:
+                carrier_log = lambda *a, **k: None
+            elif isinstance(log, (list, tuple)):
+                carrier_log = log[i]
+            else:
+                carrier_log = log
             self.carriers.append(TetraReceiver(
                 keystore_path=keystore_path,
                 dumpdir=f"{dumpdir}/carrier{i}" if dumpdir else None,
                 log=carrier_log))
+        self.sync = MultiSync(n_carriers)
+        self._buf = np.zeros((n_carriers, 0), dtype=np.uint8)
+        self._buf_base = 0
 
     def process_iq(self, wideband_iq) -> list[RxStats]:
         """One chunk of wideband complex samples through the full chain.
@@ -60,7 +78,42 @@ class MultiCarrierReceiver:
         return self.process_bits(bits)
 
     def process_bits(self, bits) -> list[RxStats]:
-        """Per-carrier hard bits [C, T] -> per-carrier decode stats."""
+        """Per-carrier hard bits [C, T] -> per-carrier decode stats.
+
+        All carriers synchronise in one device scan (phy.sync_vec) and
+        FEC-decode in one device program per burst kind; only the
+        byte-scale upper-MAC walk runs per carrier on host.
+        """
         bits = np.asarray(bits, dtype=np.uint8)
         assert bits.ndim == 2 and bits.shape[0] == len(self.carriers)
-        return [rx.process_bits(bits[i]) for i, rx in enumerate(self.carriers)]
+        self._buf = np.concatenate([self._buf, bits & 1], axis=1)
+
+        slots_abs, events_abs = self.sync.scan(self._buf,
+                                               base_offset=self._buf_base)
+        # rebase to buffer-relative offsets for slicing/decoding
+        base = self._buf_base
+        slots_rel, events_rel = [], []
+        for sl, ev in zip(slots_abs, events_abs):
+            for s in sl:
+                s.offset -= base
+            for e in ev:
+                e.offset -= base
+            slots_rel.append(sl)
+            events_rel.append(ev)
+
+        decoded = decode_slots_multi([self._buf[c] for c in
+                                      range(len(self.carriers))],
+                                     slots_rel,
+                                     [rx.scramb_init for rx in self.carriers])
+        for c, rx in enumerate(self.carriers):
+            rx._ev_ptr = 0
+            for s, d in zip(slots_rel[c], decoded[c]):
+                rx._flush_events(events_rel[c], s.seq)
+                rx._walk_slot(d)
+            rx._flush_events(events_rel[c], 1 << 62)
+
+        keep = max(self._buf_base, self.sync.min_buf_start())
+        if keep > self._buf_base:
+            self._buf = self._buf[:, keep - self._buf_base:]
+            self._buf_base = keep
+        return [rx.stats for rx in self.carriers]
