@@ -1,0 +1,217 @@
+"""Kind-compacted whole-slot FEC decode: one Viterbi pass per slot.
+
+Reference behaviour: src/lower_mac/tetra_lower_mac.c:143-274 decodes
+each burst according to its training-sequence kind (SYNC -> SB1+SB2,
+NORM_1 -> SCH/F, NORM_2 -> NDBx2), one block at a time.
+
+TPU design: lmac.steady.locked_step_bits evaluates EVERY burst
+interpretation on every slot (~2.8x redundant Viterbi work) because
+branching per slot is not batchable. This module removes the
+redundancy without any host round-trip: every interpretation is a
+sequence of tail-terminated trellis *segments* whose total length is
+<= 288 steps, so all three kinds map onto ONE 288-step segmented
+Viterbi pass with per-lane restarts at the static boundaries
+{80, 144, 224}:
+
+  SYNC : [SB1 80][SB2 144][pad 64]      resets at 80, 224
+  SCH/F: [SCH_F 288]                    no resets
+  NDB  : [NDB1 144][NDB2 144]           reset at 144
+
+Descramble/deinterleave/depuncture collapse to one gather through
+precomputed per-kind (mother-position -> slot-position, keystream-
+position) index maps, so the whole mixed-traffic lower MAC is one
+gather + one Viterbi kernel + tiny CRC matmuls per chunk — the same
+cost as the single-kind fast path. Bit-exact vs locked_step_bits on
+each slot's classified interpretation (tests/test_fused.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tetra_tpu import constants as C
+from tetra_tpu.ops import scramble, interleave, rcpc, viterbi, crc
+from tetra_tpu.lmac.pipeline import BlockResult
+
+__all__ = ["decode_slots_fused", "decode_segmented", "BOUNDARIES"]
+
+_NEG = np.float32(-1e6)
+N_SYM = 288                   # unified trellis length (= SCH/F)
+N_MOTHER = N_SYM * 4
+BOUNDARIES = (80, 144, 224)   # union of per-kind segment starts
+_KS_CELL = 432                # cell keystream prefix needed by any kind
+_KS_FIXED_OFF = _KS_CELL      # BSCH keystream region in the ks vector
+_KS_PAD = _KS_CELL + 120      # zero pad position
+_SLOT_PAD = C.BITS_PER_TS     # zero pad position in the slot vector
+
+
+@functools.lru_cache(maxsize=1)
+def _maps():
+    """Per-kind index maps (kind axis: 0=SYNC, 1=SCH/F, 2=NDB).
+
+    pidx[k, m]: slot position feeding mother position m (510 = pad)
+    qidx[k, m]: keystream position for it (552 = pad; 432.. = BSCH)
+    valid[k, m]: 1 where transmitted, 0 at punctured/pad positions
+    rmask[k, b]: 1 where kind k's trellis restarts at BOUNDARIES[b]
+    bbk_pidx[k, 30]: slot positions of the broadcast block
+    """
+    pidx = np.full((3, N_MOTHER), _SLOT_PAD, np.int32)
+    qidx = np.full((3, N_MOTHER), _KS_PAD, np.int32)
+    valid = np.zeros((3, N_MOTHER), np.int8)
+
+    def fill(kind, m_off, n345, ia, slot_off, ks_off):
+        punct = rcpc.puncture_indices("2_3", n345)
+        _, deint = interleave.interleave_indices(n345, ia)
+        for j in range(n345):
+            x = int(deint[j])
+            m = m_off + int(punct[j])
+            if callable(slot_off):
+                pidx[kind, m] = slot_off(x)
+            else:
+                pidx[kind, m] = slot_off + x
+            qidx[kind, m] = ks_off + x
+            valid[kind, m] = 1
+
+    # SYNC: SB1 (fixed BSCH scrambling) then SB2 (cell scrambling)
+    fill(0, 0, 120, 11, C.SB_BLK1_OFFSET, _KS_FIXED_OFF)
+    fill(0, 320, 216, 101, C.SB_BLK2_OFFSET, 0)
+    # SCH/F: blk1||blk2 interleaved as one 432-bit block
+    fill(1, 0, 432, 103,
+         lambda x: C.NDB_BLK1_OFFSET + x if x < 216
+         else C.NDB_BLK2_OFFSET + (x - 216), 0)
+    # NDB: two independent 216-bit blocks, each a fresh keystream
+    fill(2, 0, 216, 101, C.NDB_BLK1_OFFSET, 0)
+    fill(2, 576, 216, 101, C.NDB_BLK2_OFFSET, 0)
+
+    rmask = np.array([[1, 0, 1],     # SYNC: SB2 @80, pad @224
+                      [0, 0, 0],     # SCH/F
+                      [0, 1, 0]],    # NDB: NDB2 @144
+                     np.float32)
+    bbk = np.zeros((3, 30), np.int32)
+    bbk[0] = C.SB_BBK_OFFSET + np.arange(30)
+    bbk[1] = bbk[2] = np.concatenate([
+        C.NDB_BBK1_OFFSET + np.arange(C.NDB_BBK1_BITS),
+        C.NDB_BBK2_OFFSET + np.arange(C.NDB_BBK2_BITS)])
+    ks_fixed = scramble.keystream_np(C.SCRAMB_INIT, 120).astype(np.int8)
+    return pidx, qidx, valid, rmask, bbk, ks_fixed
+
+
+def decode_segmented(soft, rmask, n_sym: int = N_SYM,
+                     boundaries: tuple = BOUNDARIES,
+                     generators=C.CONV_GENERATORS_CCH):
+    """XLA scan twin of viterbi_pallas.decode_segmented_pallas.
+
+    soft [B, n_sym*N]; rmask [B, len(boundaries)] (1 = trellis restart).
+    Semantics reference for the fused kernel; used off-TPU.
+    """
+    n = len(generators)
+    signs = jnp.asarray(viterbi.trellis_signs(tuple(map(tuple, generators))))
+    B = soft.shape[0]
+    soft_t = soft[:, : n_sym * n].reshape(B, n_sym, n).astype(jnp.float32)
+    # branch metrics [T, B, 16, 2]
+    bm = jnp.moveaxis(jnp.einsum("btn,scn->btsc", soft_t, signs,
+                                 preferred_element_type=jnp.float32), 1, 0)
+    reset = jnp.zeros((n_sym, B), jnp.float32)
+    for i, b in enumerate(boundaries):
+        reset = reset.at[b].set(rmask[:, i].astype(jnp.float32))
+
+    p0, p1, bvec = jnp.asarray(viterbi._P0), jnp.asarray(viterbi._P1), \
+        jnp.asarray(viterbi._BIT)
+    init = jnp.full((B, 16), _NEG, jnp.float32).at[:, 0].set(0.0)
+
+    def acs(metric, xs):
+        bm_t, r = xs
+        bstate = jnp.argmin(
+            jnp.where(metric == jnp.max(metric, axis=-1, keepdims=True),
+                      jnp.arange(16), 16), axis=-1).astype(jnp.int32)
+        metric = metric * (1.0 - r[:, None]) + init * r[:, None]
+        c0 = jnp.take(metric, p0, axis=-1) + bm_t[..., p0, bvec]
+        c1 = jnp.take(metric, p1, axis=-1) + bm_t[..., p1, bvec]
+        dec = c1 > c0
+        return jnp.where(dec, c1, c0), (dec, bstate)
+
+    metric, (decs, bstates) = jax.lax.scan(acs, init, (bm, reset))
+    end_state = jnp.argmax(metric, axis=-1).astype(jnp.int32)
+
+    def traceback(state, xs):
+        dec_t, bstate_t, r = xs
+        took_p1 = jnp.take_along_axis(dec_t, state[..., None], axis=-1)[..., 0]
+        bit = (state & 1).astype(jnp.int8)
+        prev = (state >> 1) | (took_p1.astype(jnp.int32) << 3)
+        prev = jnp.where(r > 0, bstate_t, prev)
+        return prev, bit
+
+    _, bits = jax.lax.scan(traceback, end_state, (decs, bstates, reset),
+                           reverse=True)
+    return jnp.moveaxis(bits, 0, -1)
+
+
+def _decode_segmented_auto(soft, rmask):
+    if jax.default_backend() not in ("tpu", "axon"):
+        return decode_segmented(soft, rmask)
+    from tetra_tpu.ops.viterbi_pallas import decode_segmented_pallas
+    return decode_segmented_pallas(soft, rmask, N_SYM, BOUNDARIES)
+
+
+@jax.jit
+def decode_slots_fused(slots, inits, kinds):
+    """Mixed-kind batched lower MAC: slots [..., 510] + per-slot
+    scrambling codes [...] + classified kinds [...] (0 SYNC / 1 SCH/F /
+    2 NDB / -1 none, from steady.verify_train_seq) -> decoded blocks.
+
+    Returns the locked_step_bits result structure (sb1/sb2/bbk/schf/
+    ndb1/ndb2 BlockResults + kinds + crc_ok) with ONE Viterbi pass per
+    slot; each kind's fields are only meaningful on slots OF that kind
+    (other lanes hold whatever the unified trellis produced there).
+    """
+    batch = slots.shape[:-1]
+    N = int(np.prod(batch)) if batch else 1
+    slots_f = slots.reshape(N, C.BITS_PER_TS).astype(jnp.int8)
+    inits_f = jnp.broadcast_to(inits, batch).reshape(N).astype(jnp.uint32)
+    kinds_f = kinds.reshape(N)
+    k = jnp.clip(kinds_f, 0, 2)
+
+    pidx, qidx, valid, rmask_t, bbk_pidx, ks_fixed = _maps()
+    ks_cell = scramble.keystream(inits_f, _KS_CELL)            # [N, 432]
+    ksv = jnp.concatenate([
+        ks_cell,
+        jnp.broadcast_to(jnp.asarray(ks_fixed), (N, 120)),
+        jnp.zeros((N, 1), jnp.int8)], axis=-1)
+    srcv = jnp.concatenate([slots_f, jnp.zeros((N, 1), jnp.int8)], axis=-1)
+
+    p = jnp.take(jnp.asarray(pidx), k, axis=0)                 # [N, 1152]
+    q = jnp.take(jnp.asarray(qidx), k, axis=0)
+    v = jnp.take(jnp.asarray(valid), k, axis=0)
+    b = jnp.take_along_axis(srcv, p, axis=1) ^ jnp.take_along_axis(ksv, q, axis=1)
+    soft = (1.0 - 2.0 * b.astype(jnp.float32)) * 127.0 * v.astype(jnp.float32)
+    rm = jnp.take(jnp.asarray(rmask_t), k, axis=0)             # [N, 3]
+
+    bits = _decode_segmented_auto(soft, rm)                    # [N, 288]
+
+    def block(t2, n1):
+        ok = crc.crc16_check(t2[..., : n1 + 16])
+        return BlockResult(t2[..., :n1].reshape(*batch, n1),
+                           ok.reshape(batch), t2.reshape(*batch, t2.shape[-1]))
+
+    sb1 = block(bits[:, :80], 60)
+    sb2 = block(bits[:, 80:224], 124)
+    schf = block(bits, 268)
+    ndb1 = block(bits[:, :144], 124)
+    ndb2 = block(bits[:, 144:288], 124)
+
+    # broadcast block: kind-selected position, fresh cell keystream,
+    # reference copy-through semantics (tetra_lower_mac.c:268-271)
+    bbk_p = jnp.take(jnp.asarray(bbk_pidx), k, axis=0)
+    bbk_t4 = jnp.take_along_axis(slots_f, bbk_p, axis=1) ^ ks_cell[:, :30]
+    bbk = BlockResult(bbk_t4[:, :14].reshape(*batch, 14),
+                      jnp.ones(batch, bool), bbk_t4.reshape(*batch, 30))
+
+    crc_ok = jnp.where(
+        kinds == 0, sb1.crc_ok & sb2.crc_ok,
+        jnp.where(kinds == 1, schf.crc_ok,
+                  jnp.where(kinds == 2, ndb1.crc_ok & ndb2.crc_ok, False)))
+    return {"kinds": kinds, "crc_ok": crc_ok, "sb1": sb1, "sb2": sb2,
+            "schf": schf, "ndb1": ndb1, "ndb2": ndb2, "bbk": bbk}

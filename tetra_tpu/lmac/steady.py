@@ -21,7 +21,8 @@ from tetra_tpu import constants as C
 from tetra_tpu.phy import dqpsk
 from tetra_tpu.lmac import pipeline
 
-__all__ = ["verify_train_seq", "locked_step_bits", "locked_step_iq"]
+__all__ = ["verify_train_seq", "locked_step_bits", "locked_step_iq",
+           "locked_step_fused"]
 
 
 def verify_train_seq(slots):
@@ -42,6 +43,21 @@ def verify_train_seq(slots):
     return jnp.where(is_sync, 0, jnp.where(is_n, 1, jnp.where(is_p, 2, -1)))
 
 
+@jax.jit
+def locked_step_fused(slots, inits):
+    """Kind-compacted steady step: classify each slot's training
+    sequence, then ONE segmented-Viterbi pass decodes every slot under
+    its own interpretation (lmac.fused) — the all-kinds coverage of
+    locked_step_bits at the single-interpretation cost, with no host
+    round-trip for the kind map."""
+    from tetra_tpu.lmac import fused as fused_mod
+    kinds = verify_train_seq(slots)
+    out = fused_mod.decode_slots_fused(
+        slots, inits[(...,) + (None,) * (slots.ndim - 1 - inits.ndim)],
+        kinds)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("decoders",))
 def locked_step_bits(slots, inits, decoders: tuple = ("sync", "schf", "ndb")):
     """Aligned slots [C, S, 510] + per-carrier scrambling codes [C] ->
@@ -51,10 +67,14 @@ def locked_step_bits(slots, inits, decoders: tuple = ("sync", "schf", "ndb")):
     kind (redundant compute instead of divergent control flow, SURVEY.md
     §7.3). `decoders` statically selects which interpretations to run:
     a deployment decoding a traffic-heavy downlink can drop the unused
-    ones and reclaim their Viterbi work; slots whose classified kind has
-    no configured decoder report crc_ok=False (and can be routed to a
-    slow path by the caller).
+    ones and reclaim their Viterbi work; decoders=("fused",) instead
+    routes through the kind-compacted single-pass path (locked_step_fused)
+    which covers all kinds at single-interpretation cost. Slots whose
+    classified kind has no configured decoder report crc_ok=False (and
+    can be routed to a slow path by the caller).
     """
+    if decoders == ("fused",):
+        return locked_step_fused(slots, inits)
     kinds = verify_train_seq(slots)
     inits_b = inits[:, None].astype(jnp.uint32)
     out = {"kinds": kinds}

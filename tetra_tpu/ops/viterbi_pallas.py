@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tetra_tpu.constants import CONV_GENERATORS_CCH
 from tetra_tpu.ops.viterbi import trellis_signs, _P0, _P1, _BIT
 
-__all__ = ["decode_pallas"]
+__all__ = ["decode_pallas", "decode_segmented_pallas"]
 
 _NEG = np.float32(-1e6)  # large enough to exclude invalid paths, small enough that f32 adds of ±127 stay exact
 
@@ -109,6 +109,138 @@ def _make_kernel(n_sym: int, n_out: int, tile_b: int):
         jax.lax.fori_loop(0, n_sym, tb_step, onehot)
 
     return kernel
+
+
+def _make_segmented_kernel(n_sym: int, n_out: int, tile_b: int,
+                           boundaries: tuple):
+    """Like _make_kernel but the trellis can restart (per lane) at the
+    static step positions in `boundaries`: where the per-lane reset mask
+    is 1 the path metric collapses back to the one-hot zero state and
+    the traceback later jumps to the *recorded* best end state of the
+    segment that just finished — making one kernel pass bit-identical
+    to independently decoding each segment. Used to decode differently
+    segmented burst kinds (SYNC: 80+144 steps, NDB: 144+144, SCH/F: 288)
+    in ONE batched pass (see lmac.fused)."""
+    segs = (0,) + tuple(boundaries) + (n_sym,)
+    nb = len(boundaries)
+
+    # rm_ref: [max(nb,1), tile] f32 reset masks, one row per boundary
+    def kernel(soft_ref, sgn_ref, psel_ref, tbT_ref, sbits_ref, rm_ref,
+               bits_ref, dec_ref, metric_ref, bstate_ref):
+        sgn = sgn_ref[:]
+        psel = psel_ref[:]
+        tbT = tbT_ref[:]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (16, tile_b), 0)
+        init = jnp.where(row == 0, 0.0, _NEG)
+        metric_ref[:] = init
+
+        def acs_step(t, _):
+            sym = soft_ref[pl.ds(t, 1)][0]
+            bm = jnp.dot(sgn, sym, preferred_element_type=jnp.float32)
+            m = metric_ref[:]
+            c = jnp.dot(psel, m, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST) + bm
+            c0, c1 = c[:16], c[16:]
+            dec_ref[pl.ds(t, 1), :, :] = (c1 > c0).astype(jnp.int8)[None]
+            metric_ref[:] = jnp.maximum(c0, c1)
+            return 0
+
+        def onehot_best(m):
+            best = jnp.max(m, axis=0, keepdims=True)
+            min_rank = jnp.min(jnp.where(m == best, row, 16), axis=0,
+                               keepdims=True)
+            return (row == min_rank).astype(jnp.float32)
+
+        for k in range(nb + 1):
+            if k > 0:  # segment boundary: record end state, masked reset
+                m = metric_ref[:]
+                bstate_ref[k - 1] = onehot_best(m)
+                r = rm_ref[pl.ds(k - 1, 1)]          # [1, tile]
+                metric_ref[:] = m * (1.0 - r) + init * r
+            jax.lax.fori_loop(segs[k], segs[k + 1], acs_step, 0)
+
+        onehot = onehot_best(metric_ref[:])
+
+        def tb_step(t, onehot):
+            bit = jnp.dot(sbits_ref[:], onehot,
+                          preferred_element_type=jnp.float32)
+            bits_ref[pl.ds(t, 1), :, :] = bit.astype(jnp.int8)[None]
+            took = dec_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)
+            sel1 = onehot * took
+            sel0 = onehot - sel1
+            selcat = jnp.concatenate([sel0, sel1], axis=0)
+            return jnp.dot(tbT, selcat, preferred_element_type=jnp.float32)
+
+        for k in range(nb, -1, -1):
+            t0, t1 = segs[k], segs[k + 1]
+            onehot = jax.lax.fori_loop(
+                0, t1 - t0, lambda i, oh: tb_step(t1 - 1 - i, oh), onehot)
+            if k > 0:  # cross the boundary: jump to the recorded end state
+                r = rm_ref[pl.ds(k - 1, 1)]
+                onehot = bstate_ref[k - 1] * r + onehot * (1.0 - r)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_sym", "boundaries",
+                                             "generators", "tile_b",
+                                             "interpret"))
+def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
+                            generators=CONV_GENERATORS_CCH,
+                            tile_b: int = 512, interpret: bool = False):
+    """Segmented decode: soft [B, >= n_sym*N] + per-lane reset masks
+    rmask [B, len(boundaries)] (1.0 = trellis restarts at that boundary)
+    -> hard bits [B, n_sym]. Where rmask is 1 at boundary t, bits [0:t)
+    and [t:...) are bit-identical to two independent decode_pallas calls
+    on the corresponding soft segments."""
+    generators = tuple(map(tuple, generators))
+    n_out = len(generators)
+    nb = len(boundaries)
+    B = soft.shape[0]
+    soft = soft[:, : n_sym * n_out].astype(jnp.float32)
+    rmask = rmask.astype(jnp.float32).reshape(B, nb)
+    tile = min(tile_b, B)
+    pad = (-B) % tile
+    if pad:
+        soft = jnp.pad(soft, ((0, pad), (0, 0)))
+        rmask = jnp.pad(rmask, ((0, pad), (0, 0)))
+    Bp = soft.shape[0]
+    soft_tm = jnp.transpose(soft.reshape(Bp, n_sym, n_out), (1, 2, 0))
+    rm_t = rmask.T  # [nb, Bp]
+
+    sgn, psel, tbT, sbits = _tables(generators)
+    kernel = _make_segmented_kernel(n_sym, n_out, tile, tuple(boundaries))
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // tile,),
+        in_specs=[
+            pl.BlockSpec((n_sym, n_out, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, n_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 32), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(nb, 1), tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_sym, 1, tile), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_sym, 1, Bp), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((n_sym, 16, tile), jnp.int8),
+            pltpu.VMEM((16, tile), jnp.float32),
+            pltpu.VMEM((max(nb, 1), 16, tile), jnp.float32),
+        ],
+        interpret=interpret,
+    )(soft_tm, jnp.asarray(sgn), jnp.asarray(psel), jnp.asarray(tbT),
+      jnp.asarray(sbits),
+      rm_t if nb else jnp.zeros((1, Bp), jnp.float32))
+    return out[:, 0, :].T[:B]
 
 
 @functools.partial(jax.jit, static_argnames=("n_sym", "generators", "tile_b", "interpret"))

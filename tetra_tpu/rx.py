@@ -101,37 +101,61 @@ def decode_slots_multi(streams, slots_per, start_inits):
                                           bits_to_uint(t1[4:10]))
             inits[c][j] = cur
 
-    # ---- phase 2: one device call per burst kind ----
+    # ---- phase 2: ONE kind-compacted device call for all slots ----
+    # (lmac.fused: a single segmented-Viterbi pass decodes every slot
+    # under its own interpretation; batch padded to a pow2 bucket so
+    # compiled shapes are bounded)
     out = [[None] * len(sl) for sl in slots_per]
-    kind_map = {
-        C.TETRA_TRAIN_SYNC: ("SYNC", pipeline.decode_sync_burst),
-        C.TETRA_TRAIN_NORM_1: ("SCHF", pipeline.decode_schf_burst),
-        C.TETRA_TRAIN_NORM_2: ("NDB", pipeline.decode_ndb_burst),
+    if not entries:
+        return out
+    from tetra_tpu.lmac.fused import decode_slots_fused
+    from tetra_tpu.lmac.steady import _bucket
+    kind_of = {C.TETRA_TRAIN_SYNC: 0, C.TETRA_TRAIN_NORM_1: 1,
+               C.TETRA_TRAIN_NORM_2: 2}
+    n = len(entries)
+    b = _bucket(n)
+    bursts = np.zeros((b, 510), np.int8)
+    for m, (c, _, s) in enumerate(entries):
+        bursts[m] = streams[c][s.offset:s.offset + 510]
+    kinds = np.array([kind_of[s.train_id] for _, _, s in entries]
+                     + [0] * (b - n), np.int32)
+    ii = np.array([inits[c][j] for c, j, _ in entries]
+                  + [0] * (b - n), np.uint32)
+    res = decode_slots_fused(jnp.asarray(bursts), jnp.asarray(ii),
+                             jnp.asarray(kinds))
+    res_np = {k: (np.asarray(v.type1), np.asarray(v.crc_ok),
+                  np.asarray(v.type2))
+              for k, v in res.items() if k not in ("kinds", "crc_ok")}
+
+    # type-4 payload bits feed the traffic dump (tetra_lower_mac.c:198-241)
+    norm_n = [m for m, (_, _, s) in enumerate(entries)
+              if s.train_id != C.TETRA_TRAIN_SYNC]
+    t4_full = t4_b2 = None
+    if norm_n:
+        _, b1, b2 = split_norm_burst(jnp.asarray(bursts[norm_n]))
+        iin = jnp.asarray(ii[norm_n])
+        # SCH/F: one 432-bit block; NDB blk2: its own fresh keystream
+        t4_full = np.asarray(scramb_bits(iin, jnp.concatenate([b1, b2],
+                                                              axis=-1)))
+        t4_b2 = np.asarray(scramb_bits(iin, b2))
+    t4_pos = {m: i for i, m in enumerate(norm_n)}
+
+    field_map = {
+        "SYNC": [("SB1", "sb1"), ("BBK", "bbk"), ("SB2", "sb2")],
+        "SCHF": [("BBK", "bbk"), ("SCH_F", "schf")],
+        "NDB": [("BBK", "bbk"), ("NDB1", "ndb1"), ("NDB2", "ndb2")],
     }
-    for tid, (kname, fn) in kind_map.items():
-        sel = [(c, j, s) for (c, j, s) in entries if s.train_id == tid]
-        if not sel:
-            continue
-        bursts = np.stack([streams[c][s.offset:s.offset + 510]
-                           for c, _, s in sel])
-        ii = np.asarray([inits[c][j] for c, j, _ in sel], dtype=np.uint32)
-        res = fn(jnp.asarray(bursts), jnp.asarray(ii))
-        res_np = {k: (np.asarray(v.type1), np.asarray(v.crc_ok),
-                      np.asarray(v.type2)) for k, v in res.items()}
-        t4 = None
+    kname_of = {0: "SYNC", 1: "SCHF", 2: "NDB"}
+    for m, (c, j, s) in enumerate(entries):
+        kname = kname_of[kinds[m]]
+        d = {"kind": kname}
+        for out_key, res_key in field_map[kname]:
+            t1a, oka, t2a = res_np[res_key]
+            d[out_key] = pipeline.BlockResult(t1a[m], oka[m], t2a[m])
         if kname in ("SCHF", "NDB"):
-            # type-4 bits feed the traffic dump (tetra_lower_mac.c:198-241)
-            _, b1, b2 = split_norm_burst(jnp.asarray(bursts))
-            blk = (jnp.concatenate([b1, b2], axis=-1) if kname == "SCHF"
-                   else b2)
-            t4 = np.asarray(scramb_bits(jnp.asarray(ii), blk))
-        for n, (c, j, s) in enumerate(sel):
-            d = {"kind": kname}
-            for k, (t1a, oka, t2a) in res_np.items():
-                d[k] = pipeline.BlockResult(t1a[n], oka[n], t2a[n])
-            if t4 is not None:
-                d["t4"] = t4[n]
-            out[c][j] = d
+            i4 = t4_pos[m]
+            d["t4"] = t4_full[i4] if kname == "SCHF" else t4_b2[i4]
+        out[c][j] = d
     return out
 
 
