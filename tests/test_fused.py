@@ -78,6 +78,21 @@ class TestSegmentedViterbi:
         self._check(rng, [(80, 144, 64), (288,), (144, 144),
                           (80, 64, 80, 64), (288,), (80, 144, 64)])
 
+    def test_radix4_matches_radix2(self):
+        """Radix-4 double-step ACS/traceback == radix-2, incl. ties."""
+        rng = np.random.default_rng(9)
+        soft = jnp.asarray((rng.integers(-1, 2, size=(16, fused.N_MOTHER))
+                            * 127).astype(np.float32))
+        rmask = jnp.asarray(rng.integers(0, 2, size=(16, 3))
+                            .astype(np.float32))
+        r2 = np.asarray(decode_segmented_pallas(
+            soft, rmask, fused.N_SYM, fused.BOUNDARIES, tile_b=8,
+            interpret=True, radix=2))
+        r4 = np.asarray(decode_segmented_pallas(
+            soft, rmask, fused.N_SYM, fused.BOUNDARIES, tile_b=8,
+            interpret=True, radix=4))
+        np.testing.assert_array_equal(r4, r2)
+
     def test_clean_roundtrip_segments(self):
         rng = np.random.default_rng(8)
         data = rng.integers(0, 2, size=(4, 288)).astype(np.int8)

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from tetra_tpu import constants as C
 from tetra_tpu.ops import scramble, interleave, rcpc, viterbi, crc
+from tetra_tpu.lmac import pipeline as pipeline_mod
 from tetra_tpu.lmac.pipeline import BlockResult
 
 __all__ = ["decode_slots_fused", "decode_segmented", "BOUNDARIES"]
@@ -50,41 +51,45 @@ _SLOT_PAD = C.BITS_PER_TS     # zero pad position in the slot vector
 
 @functools.lru_cache(maxsize=1)
 def _maps():
-    """Per-kind index maps (kind axis: 0=SYNC, 1=SCH/F, 2=NDB).
+    """Per-kind assembly tables (kind axis: 0=SYNC, 1=SCH/F, 2=NDB).
 
-    pidx[k, m]: slot position feeding mother position m (510 = pad)
-    qidx[k, m]: keystream position for it (552 = pad; 432.. = BSCH)
-    valid[k, m]: 1 where transmitted, 0 at punctured/pad positions
+    Per kind, the slot's <=432 transmitted payload bits are pulled by
+    two STATIC gathers (slot positions sel_slot, keystream positions
+    sel_ks), XORed, sign-mapped, and spread into the 1152-wide unified
+    mother buffer by ONE one-hot bf16 matmul P[k] (entries 127 at
+    (payload index, mother position); exact — one non-zero product per
+    output). Pad rows of P are zero, so kind 0's 96 unused inputs and
+    all punctured mother positions come out 0 (erasure).
+
     rmask[k, b]: 1 where kind k's trellis restarts at BOUNDARIES[b]
     bbk_pidx[k, 30]: slot positions of the broadcast block
     """
-    pidx = np.full((3, N_MOTHER), _SLOT_PAD, np.int32)
-    qidx = np.full((3, N_MOTHER), _KS_PAD, np.int32)
-    valid = np.zeros((3, N_MOTHER), np.int8)
+    L = 432
+    sel_slot = np.full((3, L), _SLOT_PAD, np.int32)
+    sel_ks = np.full((3, L), _KS_PAD, np.int32)
+    P = np.zeros((3, L, N_MOTHER), np.float32)
 
-    def fill(kind, m_off, n345, ia, slot_off, ks_off):
+    def fill(kind, l_off, m_off, n345, ia, slot_off, ks_off):
         punct = rcpc.puncture_indices("2_3", n345)
         _, deint = interleave.interleave_indices(n345, ia)
         for j in range(n345):
             x = int(deint[j])
-            m = m_off + int(punct[j])
-            if callable(slot_off):
-                pidx[kind, m] = slot_off(x)
-            else:
-                pidx[kind, m] = slot_off + x
-            qidx[kind, m] = ks_off + x
-            valid[kind, m] = 1
+            l = l_off + j
+            sel_slot[kind, l] = (slot_off(x) if callable(slot_off)
+                                 else slot_off + x)
+            sel_ks[kind, l] = ks_off + x
+            P[kind, l, m_off + int(punct[j])] = 127.0
 
     # SYNC: SB1 (fixed BSCH scrambling) then SB2 (cell scrambling)
-    fill(0, 0, 120, 11, C.SB_BLK1_OFFSET, _KS_FIXED_OFF)
-    fill(0, 320, 216, 101, C.SB_BLK2_OFFSET, 0)
+    fill(0, 0, 0, 120, 11, C.SB_BLK1_OFFSET, _KS_FIXED_OFF)
+    fill(0, 120, 320, 216, 101, C.SB_BLK2_OFFSET, 0)
     # SCH/F: blk1||blk2 interleaved as one 432-bit block
-    fill(1, 0, 432, 103,
+    fill(1, 0, 0, 432, 103,
          lambda x: C.NDB_BLK1_OFFSET + x if x < 216
          else C.NDB_BLK2_OFFSET + (x - 216), 0)
     # NDB: two independent 216-bit blocks, each a fresh keystream
-    fill(2, 0, 216, 101, C.NDB_BLK1_OFFSET, 0)
-    fill(2, 576, 216, 101, C.NDB_BLK2_OFFSET, 0)
+    fill(2, 0, 0, 216, 101, C.NDB_BLK1_OFFSET, 0)
+    fill(2, 216, 576, 216, 101, C.NDB_BLK2_OFFSET, 0)
 
     rmask = np.array([[1, 0, 1],     # SYNC: SB2 @80, pad @224
                       [0, 0, 0],     # SCH/F
@@ -96,7 +101,7 @@ def _maps():
         C.NDB_BBK1_OFFSET + np.arange(C.NDB_BBK1_BITS),
         C.NDB_BBK2_OFFSET + np.arange(C.NDB_BBK2_BITS)])
     ks_fixed = scramble.keystream_np(C.SCRAMB_INIT, 120).astype(np.int8)
-    return pidx, qidx, valid, rmask, bbk, ks_fixed
+    return sel_slot, sel_ks, P, rmask, bbk, ks_fixed
 
 
 def decode_segmented(soft, rmask, n_sym: int = N_SYM,
@@ -174,7 +179,7 @@ def decode_slots_fused(slots, inits, kinds):
     kinds_f = kinds.reshape(N)
     k = jnp.clip(kinds_f, 0, 2)
 
-    pidx, qidx, valid, rmask_t, bbk_pidx, ks_fixed = _maps()
+    sel_slot, sel_ks, P, rmask_t, bbk_pidx, ks_fixed = _maps()
     ks_cell = scramble.keystream(inits_f, _KS_CELL)            # [N, 432]
     ksv = jnp.concatenate([
         ks_cell,
@@ -182,11 +187,19 @@ def decode_slots_fused(slots, inits, kinds):
         jnp.zeros((N, 1), jnp.int8)], axis=-1)
     srcv = jnp.concatenate([slots_f, jnp.zeros((N, 1), jnp.int8)], axis=-1)
 
-    p = jnp.take(jnp.asarray(pidx), k, axis=0)                 # [N, 1152]
-    q = jnp.take(jnp.asarray(qidx), k, axis=0)
-    v = jnp.take(jnp.asarray(valid), k, axis=0)
-    b = jnp.take_along_axis(srcv, p, axis=1) ^ jnp.take_along_axis(ksv, q, axis=1)
-    soft = (1.0 - 2.0 * b.astype(jnp.float32)) * 127.0 * v.astype(jnp.float32)
+    # per-kind CONSTANT index maps -> static gathers (cheap copies) and
+    # one one-hot bf16 matmul each for the depuncture/deinterleave
+    # spread; per-slot dynamic gathers would lower to real TPU gathers
+    # and dominate the whole pipeline
+    soft = jnp.zeros((N, N_MOTHER), jnp.float32)
+    for kk in range(3):
+        b = (jnp.take(srcv, jnp.asarray(sel_slot[kk]), axis=-1)
+             ^ jnp.take(ksv, jnp.asarray(sel_ks[kk]), axis=-1))
+        dt = pipeline_mod._mm_dtype()
+        sgn = (1 - 2 * b.astype(jnp.int8)).astype(dt)
+        s = jnp.dot(sgn, jnp.asarray(P[kk], dt),
+                    preferred_element_type=jnp.float32)
+        soft = jnp.where((k == kk)[:, None], s, soft)
     rm = jnp.take(jnp.asarray(rmask_t), k, axis=0)             # [N, 3]
 
     bits = _decode_segmented_auto(soft, rm)                    # [N, 288]
@@ -204,8 +217,9 @@ def decode_slots_fused(slots, inits, kinds):
 
     # broadcast block: kind-selected position, fresh cell keystream,
     # reference copy-through semantics (tetra_lower_mac.c:268-271)
-    bbk_p = jnp.take(jnp.asarray(bbk_pidx), k, axis=0)
-    bbk_t4 = jnp.take_along_axis(slots_f, bbk_p, axis=1) ^ ks_cell[:, :30]
+    bbk_sync = jnp.take(slots_f, jnp.asarray(bbk_pidx[0]), axis=-1)
+    bbk_norm = jnp.take(slots_f, jnp.asarray(bbk_pidx[1]), axis=-1)
+    bbk_t4 = jnp.where((k == 0)[:, None], bbk_sync, bbk_norm) ^ ks_cell[:, :30]
     bbk = BlockResult(bbk_t4[:, :14].reshape(*batch, 14),
                       jnp.ones(batch, bool), bbk_t4.reshape(*batch, 30))
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -26,10 +27,33 @@ __all__ = ["BlockResult", "decode_block", "decode_bbk", "decode_sync_burst",
            "decode_ndb_burst", "decode_schf_burst", "sb1_sync_fields"]
 
 
+def _mm_dtype():
+    """bf16 on TPU (exact for one-hot 0/±127 operands, feeds the MXU);
+    f32 elsewhere (CPU XLA has no bf16 x bf16 -> f32 dot)."""
+    return (jnp.bfloat16 if jax.default_backend() in ("tpu", "axon")
+            else jnp.float32)
+
+
 class BlockResult(NamedTuple):
     type1: jax.Array    # [..., type1_bits] decoded bits
     crc_ok: jax.Array   # [...] bool
     type2: jax.Array    # [..., type2_bits] (incl. CRC + tail, for debug/parity)
+
+
+@functools.lru_cache(maxsize=8)
+def _fec_matrix(kind: str):
+    """Composed deinterleave+depuncture+soft-map as ONE one-hot matrix:
+    mother = sign(type4) @ P with P[deint[j], punct[j]] = 127. A single
+    bf16 MXU matmul (exact: one non-zero product per output) replaces
+    the gather + scatter, which dominate the non-Viterbi pipeline cost
+    on TPU."""
+    n345, n2, _, ia, _ = C.BLOCK_PARAMS[kind]
+    punct = rcpc.puncture_indices("2_3", n345)
+    _, deint = interleave.interleave_indices(n345, ia)
+    P = np.zeros((n345, n2 * 4), np.float32)
+    for j in range(n345):
+        P[deint[j], punct[j]] = 127.0
+    return P
 
 
 def _decode_fec(kind: str, type5, scramb_init) -> BlockResult:
@@ -37,9 +61,10 @@ def _decode_fec(kind: str, type5, scramb_init) -> BlockResult:
     n345, n2, n1, ia, _ = C.BLOCK_PARAMS[kind]
     assert type5.shape[-1] == n345, (kind, type5.shape)
     type4 = scramble.scramb_bits(scramb_init, type5)
-    type3 = interleave.block_deinterleave(n345, ia, type4)
-    soft3 = (1.0 - 2.0 * type3.astype(jnp.float32)) * 127.0
-    mother = rcpc.depuncture_soft("2_3", soft3, n2 * 4)
+    dt = _mm_dtype()
+    sgn = (1 - 2 * type4.astype(jnp.int8)).astype(dt)
+    mother = jnp.dot(sgn, jnp.asarray(_fec_matrix(kind), dt),
+                     preferred_element_type=jnp.float32)
     type2 = viterbi.decode_cch(mother, n2)
     ok = crc.crc16_check(type2[..., : n1 + 16])
     return BlockResult(type2[..., :n1], ok, type2)

@@ -111,6 +111,124 @@ def _make_kernel(n_sym: int, n_out: int, tile_b: int):
     return kernel
 
 
+@functools.lru_cache(maxsize=4)
+def _tables4(generators):
+    """Radix-4 tables: two trellis steps fused into one ACS iteration.
+
+    Path index j = h*2 + g for next-state ns: h picks the intermediate
+    state im = (ns>>1)|(h<<3), g picks its predecessor p =
+    (ns>>2)|(h<<2)|(g<<3). 'Lowest j wins on tie' composes exactly the
+    radix-2 pairwise tie-breaks (c1 > c0 keeps the lower predecessor),
+    so radix-4 decisions & traceback are bit-identical to two radix-2
+    steps.
+
+    sgn4 [64, 2N]: row j*16+ns = (signs of symbol 2t from p) ++
+                   (signs of symbol 2t+1 from im)
+    psel4 [64,16]: c = psel4 @ m selects m[p] per (j, ns)
+    tb4T [16,64]:  traceback prev = tb4T @ (per-j masked one-hots)
+    sbits0/1 [1,16]: input bits (ns>>1)&1 and ns&1 of the double step
+    """
+    signs = trellis_signs(generators)
+    n = signs.shape[-1]
+    sgn4 = np.zeros((64, 2 * n), np.float32)
+    psel4 = np.zeros((64, 16), np.float32)
+    tb4T = np.zeros((16, 64), np.float32)
+    for ns in range(16):
+        b0, b1 = (ns >> 1) & 1, ns & 1
+        for j in range(4):
+            h, g = j >> 1, j & 1
+            p = (ns >> 2) | (h << 2) | (g << 3)
+            im = ((p << 1) | b0) & 0xF
+            row = j * 16 + ns
+            sgn4[row, :n] = signs[p, b0]
+            sgn4[row, n:] = signs[im, b1]
+            psel4[row, p] = 1.0
+            tb4T[p, row] = 1.0
+    sbits1 = (np.arange(16) & 1).astype(np.float32)[None, :]
+    sbits0 = ((np.arange(16) >> 1) & 1).astype(np.float32)[None, :]
+    return sgn4, psel4, tb4T, sbits0, sbits1
+
+
+def _make_segmented_kernel4(n_sym: int, n_out: int, tile_b: int,
+                            boundaries: tuple):
+    """Radix-4 variant of _make_segmented_kernel: halves the serial ACS
+    and traceback lengths (the throughput limiter — each iteration is a
+    handful of small VMEM ops, so the loop is issue-bound, not
+    FLOP-bound). Requires even n_sym and even boundaries (all TETRA
+    block layouts satisfy this). soft input pre-reshaped to
+    [n_sym/2, 2N, tile]."""
+    assert n_sym % 2 == 0 and all(b % 2 == 0 for b in boundaries)
+    segs = tuple(s // 2 for s in (0,) + tuple(boundaries) + (n_sym,))
+    nb = len(boundaries)
+    t2 = n_sym // 2
+
+    def kernel(soft_ref, sgn_ref, psel_ref, tbT_ref, sb0_ref, sb1_ref,
+               rm_ref, bits_ref, dec_ref, metric_ref, bstate_ref):
+        sgn = sgn_ref[:]            # [64, 2N]
+        psel = psel_ref[:]          # [64, 16]
+        tbT = tbT_ref[:]            # [16, 64]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (16, tile_b), 0)
+        init = jnp.where(row == 0, 0.0, _NEG)
+        metric_ref[:] = init
+
+        def acs_step(t, _):
+            sym2 = soft_ref[pl.ds(t, 1)][0]                     # [2N, tile]
+            bm = jnp.dot(sgn, sym2, preferred_element_type=jnp.float32)
+            m = metric_ref[:]
+            c = jnp.dot(psel, m, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST) + bm
+            c0, c1, c2, c3 = c[:16], c[16:32], c[32:48], c[48:64]
+            e01 = c1 > c0
+            m01 = jnp.maximum(c0, c1)
+            e23 = c3 > c2
+            m23 = jnp.maximum(c2, c3)
+            e = m23 > m01
+            j = jnp.where(e, jnp.where(e23, 3, 2), jnp.where(e01, 1, 0))
+            dec_ref[pl.ds(t, 1), :, :] = j.astype(jnp.int8)[None]
+            metric_ref[:] = jnp.maximum(m01, m23)
+            return 0
+
+        def onehot_best(m):
+            best = jnp.max(m, axis=0, keepdims=True)
+            min_rank = jnp.min(jnp.where(m == best, row, 16), axis=0,
+                               keepdims=True)
+            return (row == min_rank).astype(jnp.float32)
+
+        for k in range(nb + 1):
+            if k > 0:
+                m = metric_ref[:]
+                bstate_ref[k - 1] = onehot_best(m)
+                r = rm_ref[pl.ds(k - 1, 1)]
+                metric_ref[:] = m * (1.0 - r) + init * r
+            jax.lax.fori_loop(segs[k], segs[k + 1], acs_step, 0)
+
+        onehot = onehot_best(metric_ref[:])
+
+        def tb_step(t, onehot):
+            bit0 = jnp.dot(sb0_ref[:], onehot,
+                           preferred_element_type=jnp.float32)   # [1, tile]
+            bit1 = jnp.dot(sb1_ref[:], onehot,
+                           preferred_element_type=jnp.float32)
+            bits_ref[pl.ds(2 * t, 2), :, :] = jnp.concatenate(
+                [bit0[None], bit1[None]], axis=0).astype(jnp.int8)
+            decj = dec_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)
+            jpath = jnp.sum(onehot * decj, axis=0, keepdims=True)  # [1, tile]
+            selcat = jnp.concatenate(
+                [onehot * (jpath == float(jj)) for jj in range(4)], axis=0)
+            return jnp.dot(tbT, selcat, preferred_element_type=jnp.float32)
+
+        for k in range(nb, -1, -1):
+            t0, t1 = segs[k], segs[k + 1]
+            onehot = jax.lax.fori_loop(
+                0, t1 - t0, lambda i, oh: tb_step(t1 - 1 - i, oh), onehot)
+            if k > 0:
+                r = rm_ref[pl.ds(k - 1, 1)]
+                onehot = bstate_ref[k - 1] * r + onehot * (1.0 - r)
+
+    return kernel
+
+
 def _make_segmented_kernel(n_sym: int, n_out: int, tile_b: int,
                            boundaries: tuple):
     """Like _make_kernel but the trellis can restart (per lane) at the
@@ -185,15 +303,18 @@ def _make_segmented_kernel(n_sym: int, n_out: int, tile_b: int,
 
 @functools.partial(jax.jit, static_argnames=("n_sym", "boundaries",
                                              "generators", "tile_b",
-                                             "interpret"))
+                                             "interpret", "radix"))
 def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
                             generators=CONV_GENERATORS_CCH,
-                            tile_b: int = 512, interpret: bool = False):
+                            tile_b: int = 512, interpret: bool = False,
+                            radix: int = 4):
     """Segmented decode: soft [B, >= n_sym*N] + per-lane reset masks
     rmask [B, len(boundaries)] (1.0 = trellis restarts at that boundary)
     -> hard bits [B, n_sym]. Where rmask is 1 at boundary t, bits [0:t)
     and [t:...) are bit-identical to two independent decode_pallas calls
-    on the corresponding soft segments."""
+    on the corresponding soft segments. radix=4 fuses two trellis steps
+    per serial iteration (bit-exact; auto-falls back to 2 when the
+    layout is odd)."""
     generators = tuple(map(tuple, generators))
     n_out = len(generators)
     nb = len(boundaries)
@@ -206,15 +327,42 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
         soft = jnp.pad(soft, ((0, pad), (0, 0)))
         rmask = jnp.pad(rmask, ((0, pad), (0, 0)))
     Bp = soft.shape[0]
-    soft_tm = jnp.transpose(soft.reshape(Bp, n_sym, n_out), (1, 2, 0))
     rm_t = rmask.T  # [nb, Bp]
+    use_r4 = (radix == 4 and n_sym % 2 == 0
+              and all(b % 2 == 0 for b in boundaries))
 
-    sgn, psel, tbT, sbits = _tables(generators)
-    kernel = _make_segmented_kernel(n_sym, n_out, tile, tuple(boundaries))
-    out = pl.pallas_call(
-        kernel,
-        grid=(Bp // tile,),
-        in_specs=[
+    if use_r4:
+        sgn, psel, tbT, sb0, sb1 = _tables4(generators)
+        # [T/2, 2N, B]: two consecutive symbols per row
+        soft_tm = jnp.transpose(
+            soft.reshape(Bp, n_sym // 2, 2 * n_out), (1, 2, 0))
+        kernel = _make_segmented_kernel4(n_sym, n_out, tile,
+                                         tuple(boundaries))
+        in_specs = [
+            pl.BlockSpec((n_sym // 2, 2 * n_out, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 2 * n_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 64), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(nb, 1), tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        consts = (jnp.asarray(sgn), jnp.asarray(psel), jnp.asarray(tbT),
+                  jnp.asarray(sb0), jnp.asarray(sb1))
+        dec_scratch = pltpu.VMEM((n_sym // 2, 16, tile), jnp.int8)
+    else:
+        sgn, psel, tbT, sbits = _tables(generators)
+        soft_tm = jnp.transpose(soft.reshape(Bp, n_sym, n_out), (1, 2, 0))
+        kernel = _make_segmented_kernel(n_sym, n_out, tile,
+                                        tuple(boundaries))
+        in_specs = [
             pl.BlockSpec((n_sym, n_out, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((32, n_out), lambda i: (0, 0),
@@ -227,18 +375,25 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((max(nb, 1), tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+        consts = (jnp.asarray(sgn), jnp.asarray(psel), jnp.asarray(tbT),
+                  jnp.asarray(sbits))
+        dec_scratch = pltpu.VMEM((n_sym, 16, tile), jnp.int8)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // tile,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((n_sym, 1, tile), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_sym, 1, Bp), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((n_sym, 16, tile), jnp.int8),
+            dec_scratch,
             pltpu.VMEM((16, tile), jnp.float32),
             pltpu.VMEM((max(nb, 1), 16, tile), jnp.float32),
         ],
         interpret=interpret,
-    )(soft_tm, jnp.asarray(sgn), jnp.asarray(psel), jnp.asarray(tbT),
-      jnp.asarray(sbits),
+    )(soft_tm, *consts,
       rm_t if nb else jnp.zeros((1, Bp), jnp.float32))
     return out[:, 0, :].T[:B]
 
@@ -253,6 +408,10 @@ def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
     (±127/0); on arbitrary float inputs near-ties may resolve
     differently (summation order).
     """
+    if n_sym % 2 == 0:  # radix-4 path: half the serial iterations
+        return decode_segmented_pallas(
+            soft, jnp.zeros((soft.shape[0], 0), jnp.float32), n_sym, (),
+            generators, tile_b, interpret)
     generators = tuple(map(tuple, generators))
     n_out = len(generators)
     B = soft.shape[0]
