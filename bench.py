@@ -1,10 +1,17 @@
 """Benchmark: real-time TETRA carriers decodable per chip.
 
-Measures the full lower-MAC decode path (descramble -> deinterleave ->
-depuncture -> 16-state Pallas Viterbi -> CRC) on batched SCH/F bursts —
-the dominant per-slot compute of the reference receiver (SURVEY.md §3.1
-hot loops) — and reports how many real-time carriers (70.588 slots/s
-each, 18 ksym/s) one chip sustains.
+Stages (SURVEY.md §6 protocol, north star = 1000 realtime carriers):
+  1. cold host->device link bandwidth (measured BEFORE any compile —
+     the axon tunnel's post-compute transfer path is ~50x slower, see
+     PARITY.md "streaming ingest")
+  2. FEC-only: batched SCH/F lower-MAC decode (descramble -> one-hot
+     matmul assembly -> radix-4 segmented Pallas Viterbi -> CRC)
+  3. full chain, kind-compacted: DQPSK demod -> slice -> train-seq
+     classify -> fused single-pass decode of ALL burst kinds
+  4. mixed-traffic comparison: the redundant all-interpretations path
+  5. wideband: 512-channel PFB front end + full chain
+  6. streaming ingest: int8 IQ chunks, double-buffered device_put
+     overlapped with compute (io/stream.py)
 
 Methodology: the device is reached through a tunnel with a fixed
 per-call overhead of tens of ms, so naive loop timing is unreliable.
@@ -24,6 +31,18 @@ import time
 
 import numpy as np
 
+REPS = 7
+
+
+def _median_time(fn, reps=REPS):
+    fn()  # warm (compile)
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    return float(np.median(samples))
+
 
 def main():
     import jax
@@ -36,21 +55,31 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
-    from tetra_tpu.lmac import pipeline
+
+    # ---- stage 1: cold h2d link bandwidth (before ANY jit compile) ----
+    rng = np.random.default_rng(0)
+    link = rng.normal(0, 1, (32 << 20) // 4).astype(np.float32)
+    d = jax.device_put(link)
+    d.block_until_ready()
+    t0 = time.perf_counter()
+    d = jax.device_put(link)
+    d.block_until_ready()
+    h2d_gbps_cold = link.nbytes / (time.perf_counter() - t0) / (1 << 30)
+    del d
+
+    from tetra_tpu.lmac import pipeline, steady
     from tetra_tpu import tx
     from tetra_tpu.ops.scramble import scramb_get_init
 
     B_SMALL, B_BIG = 16384, 65536
-    REPS = 7
     init = scramb_get_init(262, 42, 1)
 
     # fixture generation on the host CPU backend (eager TX is many tiny
     # ops; keep them off the TPU dispatch path)
-    rng = np.random.default_rng(0)
+    cpu = jax.devices("cpu")[0]
     n_uniq = 64
     schf = rng.integers(0, 2, size=(n_uniq, 268)).astype(np.int8)
     aach = rng.integers(0, 2, size=(n_uniq, 14)).astype(np.int8)
-    cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         t5 = np.asarray(tx.encode_block("SCH_F", jnp.asarray(schf), jnp.uint32(init)))
         bb = np.asarray(tx.encode_bbk(jnp.asarray(aach), jnp.uint32(init)))
@@ -58,8 +87,9 @@ def main():
     uniq = np.stack([build_norm_c_d_burst(t5[i, :216], bb[i], t5[i, 216:], False)
                      for i in range(n_uniq)])
 
+    # ---- stage 2: FEC-only (SCH/F) ----
     @jax.jit
-    def step(b, i):
+    def fec_step(b, i):
         res = pipeline.decode_schf_burst(b, i)
         return res["SCH_F"].crc_ok.astype(jnp.int32).sum()
 
@@ -71,24 +101,15 @@ def main():
     for B in (B_SMALL, B_BIG):
         bd = bursts_of(B)
         idd = jnp.asarray(np.full(B, init, dtype=np.uint32))
-        v = int(step(bd, idd))  # compile + warm
+        v = int(fec_step(bd, idd))
         if B == B_BIG:
             ok_frac = v / B
-        samples = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            v = int(step(bd, idd))  # scalar fetch forces completion
-            samples.append(time.perf_counter() - t0)
-        times[B] = float(np.median(samples))
-
+        times[B] = _median_time(lambda: int(fec_step(bd, idd)))
     slots_per_s = (B_BIG - B_SMALL) / (times[B_BIG] - times[B_SMALL])
     fec_carriers = slots_per_s / (18000.0 / 255.0)
 
-    # ---- full chain: DQPSK demod -> slicer -> train-seq verify -> FEC ----
+    # ---- stage 3: full chain, kind-compacted fused decode ----
     from tetra_tpu.phy import dqpsk
-    from tetra_tpu.lmac import steady
-    # 64 slots/carrier and a 4x carrier-count gap so the compute delta
-    # (~50+ ms) dominates the per-call overhead noise
     N_SLOTS = 64
     C_SMALL, C_BIG = 512, 2048
     pad = np.zeros(64, np.int8)
@@ -97,36 +118,37 @@ def main():
 
     @jax.jit
     def chain_step(re, im, i):
-        # traffic steady state: decode the SCH/F interpretation only (a
-        # deployment config; sync bursts are ~1 slot in 72 and handled by
-        # the acquisition path)
         out = steady.locked_step_ri(re, im, i, phase_bit=64, n_slots=N_SLOTS,
-                                    decoders=("schf",))
+                                    decoders=("fused",))
         return out["crc_ok"].astype(jnp.int32).sum()
 
-    chain_times = {}
-    chain_ok = None
-    for CC in (C_SMALL, C_BIG):
-        tiled = np.tile(iq_row, (CC, 1))
-        re = jnp.asarray(np.real(tiled).astype(np.float32))
-        im = jnp.asarray(np.imag(tiled).astype(np.float32))
-        idd = jnp.asarray(np.full(CC, init, np.uint32))
-        v = int(chain_step(re, im, idd))
-        if CC == C_BIG:
-            chain_ok = v / (CC * N_SLOTS)
-        samples = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            v = int(chain_step(re, im, idd))
-            samples.append(time.perf_counter() - t0)
-        chain_times[CC] = float(np.median(samples))
-    d_samples = (C_BIG - C_SMALL) * iq_row.shape[-1]
-    chain_samples_per_s = d_samples / (chain_times[C_BIG] - chain_times[C_SMALL])
-    chain_carriers = chain_samples_per_s / 36000.0
+    @jax.jit
+    def chain_step_all3(re, im, i):
+        out = steady.locked_step_ri(re, im, i, phase_bit=64, n_slots=N_SLOTS)
+        return out["crc_ok"].astype(jnp.int32).sum()
 
-    # ---- wideband: 512-channel PFB front end + full chain ----
+    def chain_rate(step):
+        ts = {}
+        okc = None
+        for CC in (C_SMALL, C_BIG):
+            tiled = np.tile(iq_row, (CC, 1))
+            re = jnp.asarray(np.real(tiled).astype(np.float32))
+            im = jnp.asarray(np.imag(tiled).astype(np.float32))
+            idd = jnp.asarray(np.full(CC, init, np.uint32))
+            v = int(step(re, im, idd))
+            if CC == C_BIG:
+                okc = v / (CC * N_SLOTS)
+            ts[CC] = _median_time(lambda: int(step(re, im, idd)))
+        d_samples = (C_BIG - C_SMALL) * iq_row.shape[-1]
+        return d_samples / (ts[C_BIG] - ts[C_SMALL]), okc
+
+    chain_samples_per_s, chain_ok = chain_rate(chain_step)
+    chain_carriers = chain_samples_per_s / 36000.0
+    all3_samples_per_s, _ = chain_rate(chain_step_all3)
+    all3_carriers = all3_samples_per_s / 36000.0
+
+    # ---- stage 5: wideband 512-channel PFB front end + full chain ----
     from tetra_tpu.phy import pfb as pfb_mod
-    from tetra_tpu import constants as Ct
     N_CHAN = 512
     FS_WIDE = N_CHAN * 25_000.0
 
@@ -136,14 +158,13 @@ def main():
             cr, ci = pfb_mod.pfb_to_demod_rate_ri(
                 wre, wim, jnp.arange(N_CHAN, dtype=jnp.int32), N_CHAN, FS_WIDE)
             out = steady.locked_step_ri(cr, ci, i, phase_bit=64,
-                                        n_slots=n_slots, decoders=("schf",))
+                                        n_slots=n_slots, decoders=("fused",))
             return out["kinds"].sum() + out["crc_ok"].astype(jnp.int32).sum()
         return wide_step
 
     wide_times = {}
     rng2 = np.random.default_rng(1)
-    for n_slots in (8, 24):
-        # channel streams need 64 + n_slots*510 + 64 bits at 36 kHz
+    for n_slots in (8, 40):
         need_36k = 64 + n_slots * 510 + 64
         m_chan = int(need_36k * 50_000.0 / 36_000.0) + 80
         T_wide = (m_chan + 2 * 16) * (N_CHAN // 2)
@@ -151,29 +172,54 @@ def main():
         wim = jnp.asarray(rng2.normal(0, 1, T_wide).astype(np.float32))
         idd = jnp.asarray(np.full(N_CHAN, init, np.uint32))
         step_w = wide_step_factory(n_slots)
-        v = int(step_w(wre, wim, idd))
-        samples = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            v = int(step_w(wre, wim, idd))
-            samples.append(time.perf_counter() - t0)
-        wide_times[n_slots] = (float(np.median(samples)), T_wide)
-    d_wide = wide_times[24][1] - wide_times[8][1]
-    wide_samples_per_s = d_wide / (wide_times[24][0] - wide_times[8][0])
+        wide_times[n_slots] = (_median_time(lambda: int(step_w(wre, wim, idd))),
+                               T_wide)
+    d_wide = wide_times[40][1] - wide_times[8][1]
+    wide_samples_per_s = d_wide / (wide_times[40][0] - wide_times[8][0])
     wide_carriers = wide_samples_per_s / FS_WIDE * N_CHAN
+
+    # ---- stage 6: streaming ingest (int8 IQ, double-buffered) ----
+    from tetra_tpu.io import stream
+    C_ING, SLOTS_ING, NCHUNK = 1024, 16, 6
+    bits_ing = np.concatenate([pad, uniq[:SLOTS_ING].reshape(-1), pad])
+    iq_ing = dqpsk.modulate(bits_ing[None].astype(np.int8), sps=2)[0]
+    re8, im8 = stream.quantize_iq(np.tile(iq_ing.real, (C_ING, 1)) * 0.7,
+                                  np.tile(iq_ing.imag, (C_ING, 1)) * 0.7)
+    init_ing = np.full(C_ING, init, np.uint32)
+
+    @jax.jit
+    def ingest_step(c):
+        re, im = stream.dequantize_iq(c["re"], c["im"])
+        out = steady.locked_step_ri(re, im, c["init"], phase_bit=64,
+                                    n_slots=SLOTS_ING, decoders=("fused",))
+        return out["crc_ok"].astype(jnp.int32).sum()
+
+    chunks = [{"re": re8, "im": im8, "init": init_ing}] * NCHUNK
+    ingest_samples = NCHUNK * C_ING * iq_ing.shape[-1]
+
+    def run_ingest():
+        return [int(o) for o in stream.stream_map(ingest_step, chunks)]
+
+    t_ing = _median_time(run_ingest, reps=3)
+    ingest_samples_per_s = ingest_samples / t_ing
+    ingest_carriers = ingest_samples_per_s / 36000.0
 
     result = {
         "metric": "realtime_carriers_per_chip",
         "value": round(chain_carriers, 1),
-        "unit": "carriers (full chain: DQPSK demod + sync verify + FEC decode)",
+        "unit": "carriers (full chain: DQPSK demod + classify + fused all-kind FEC)",
         "vs_baseline": round(chain_carriers / 1000.0, 3),
         "fullchain_msamples_per_s": round(chain_samples_per_s / 1e6, 1),
         "fullchain_crc_ok_frac": chain_ok,
+        "allinterp_realtime_carriers": round(all3_carriers, 1),
         "wideband_msamples_per_s": round(wide_samples_per_s / 1e6, 1),
         "wideband_realtime_carriers": round(wide_carriers, 1),
         "fec_only_slots_per_s": round(slots_per_s, 1),
         "fec_only_carriers": round(fec_carriers, 1),
         "fec_crc_ok_frac": ok_frac,
+        "h2d_gbps_cold": round(h2d_gbps_cold, 2),
+        "ingest_msamples_per_s": round(ingest_samples_per_s / 1e6, 1),
+        "ingest_realtime_carriers": round(ingest_carriers, 1),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

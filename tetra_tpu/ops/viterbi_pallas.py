@@ -306,7 +306,7 @@ def _make_segmented_kernel(n_sym: int, n_out: int, tile_b: int,
                                              "interpret", "radix"))
 def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
                             generators=CONV_GENERATORS_CCH,
-                            tile_b: int = 512, interpret: bool = False,
+                            tile_b: int = 1024, interpret: bool = False,
                             radix: int = 4):
     """Segmented decode: soft [B, >= n_sym*N] + per-lane reset masks
     rmask [B, len(boundaries)] (1.0 = trellis restarts at that boundary)
@@ -400,7 +400,7 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
 
 @functools.partial(jax.jit, static_argnames=("n_sym", "generators", "tile_b", "interpret"))
 def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
-                  tile_b: int = 512, interpret: bool = False):
+                  tile_b: int = 1024, interpret: bool = False):
     """Decode soft mother bits [B, >= n_sym*N] -> hard bits [B, n_sym].
 
     Drop-in replacement for viterbi.decode on 2-D batches. Bit-exact
