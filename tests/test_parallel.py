@@ -143,3 +143,75 @@ class TestShardedPfb:
         np.testing.assert_allclose(np.asarray(ci_s)[:, :m_common - wrap],
                                    np.asarray(ci_u)[:, :m_common - wrap],
                                    rtol=0, atol=1e-4)
+
+
+class TestLockedStep2D:
+    """2-D (host, chip) mesh: time over hosts (DCN halos), carriers
+    over chips — outputs must match the unsharded steady chain."""
+
+    def test_matches_unsharded(self, devices):
+        from tetra_tpu.parallel.mesh import make_mesh_2d, sharded_locked_step_2d
+        from tetra_tpu.lmac import steady
+        from tetra_tpu.phy import dqpsk
+
+        mesh = make_mesh_2d(devices, hosts=2)   # 2 hosts x 4 chips
+        init = scramb_get_init(262, 42, 1)
+        rng = np.random.default_rng(3)
+        Cc, S_total = 8, 8                      # 4 slots per host shard
+        slots = np.zeros((Cc, S_total, 510), np.int8)
+        for c in range(Cc):
+            for s in range(S_total):
+                k = (c + s) % 3
+                if k == 0:
+                    b = tx.make_sync_burst(
+                        testpdu.make_sync_pdu(mcc=262, mnc=42, cc=1),
+                        testpdu.make_sysinfo_pdu(),
+                        testpdu.make_access_assign_bits(), jnp.uint32(init))
+                elif k == 1:
+                    b = tx.make_schf_burst(
+                        testpdu.make_resource_pdu(ssi=c * 16 + s),
+                        testpdu.make_access_assign_bits(), jnp.uint32(init))
+                else:
+                    b = tx.make_ndb_burst(
+                        rng.integers(0, 2, 124).astype(np.int8),
+                        rng.integers(0, 2, 124).astype(np.int8),
+                        testpdu.make_access_assign_bits(), jnp.uint32(init))
+                slots[c, s] = b
+        bits = slots.reshape(Cc, -1)
+        iq = dqpsk.modulate(bits.astype(np.int8), sps=2)
+        re = np.real(iq).astype(np.float32)
+        im = np.imag(iq).astype(np.float32)
+        inits = np.full(Cc, init, np.uint32)
+
+        ref = steady.locked_step_ri(jnp.asarray(re), jnp.asarray(im),
+                                    jnp.asarray(inits), phase_bit=0,
+                                    n_slots=S_total, decoders=("fused",))
+
+        fn = sharded_locked_step_2d(mesh)
+        out = fn(jnp.asarray(re), jnp.asarray(im), jnp.asarray(inits))
+
+        np.testing.assert_array_equal(np.asarray(out["kinds"]),
+                                      np.asarray(ref["kinds"]))
+        np.testing.assert_array_equal(np.asarray(out["crc_ok"]),
+                                      np.asarray(ref["crc_ok"]))
+        np.testing.assert_array_equal(np.asarray(out["schf_type1"]),
+                                      np.asarray(ref["schf"].type1))
+        assert int(out["crc_ok_total"]) == int(
+            np.asarray(ref["crc_ok"]).sum())
+        # every slot of a clean capture must decode
+        assert int(out["crc_ok_total"]) == Cc * S_total
+
+    def test_sharding_layout(self, devices):
+        """Inputs/outputs carry the declared 2-D shardings."""
+        from tetra_tpu.parallel.mesh import make_mesh_2d, sharded_locked_step_2d
+        mesh = make_mesh_2d(devices, hosts=2)
+        rng = np.random.default_rng(0)
+        Cc, S_total = 4, 4
+        T = S_total * 255 * 2
+        re = jnp.asarray(rng.normal(0, 1, (Cc, T)).astype(np.float32))
+        im = jnp.asarray(rng.normal(0, 1, (Cc, T)).astype(np.float32))
+        inits = jnp.asarray(np.full(Cc, 3, np.uint32))
+        out = sharded_locked_step_2d(mesh)(re, im, inits)
+        assert out["kinds"].shape == (Cc, S_total)
+        shard_shapes = {s.data.shape for s in out["kinds"].addressable_shards}
+        assert shard_shapes == {(Cc // 4, S_total // 2)}

@@ -25,8 +25,8 @@ from tetra_tpu import constants as C
 from tetra_tpu.lmac import pipeline as lmac
 from tetra_tpu.phy import burst as burst_mod
 
-__all__ = ["make_mesh", "sharded_burst_decode", "sharded_match_map",
-           "MAX_TRAIN_LEN"]
+__all__ = ["make_mesh", "make_mesh_2d", "sharded_burst_decode",
+           "sharded_match_map", "sharded_locked_step_2d", "MAX_TRAIN_LEN"]
 
 MAX_TRAIN_LEN = 38  # longest training sequence (y, 38 bits)
 
@@ -35,6 +35,17 @@ def make_mesh(devices=None, axis_name: str = "carrier") -> Mesh:
     """1-D mesh over all (or given) devices, carriers sharded across it."""
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_2d(devices=None, hosts: int = 2,
+                 axis_names: tuple = ("host", "chip")) -> Mesh:
+    """2-D (host, chip) mesh: the ingest/time axis shards over hosts
+    (halos ride DCN), carriers shard over each host's chips (ICI) —
+    the BASELINE multi-host topology (SURVEY.md §7.2 step 6)."""
+    devices = devices if devices is not None else jax.devices()
+    d = np.asarray(devices)
+    assert len(d) % hosts == 0, (len(d), hosts)
+    return Mesh(d.reshape(hosts, -1), axis_names)
 
 
 def sharded_burst_decode(mesh: Mesh, axis: str = "carrier"):
@@ -111,6 +122,97 @@ def sharded_locked_step(mesh: Mesh, axis: str = "carrier",
     sharded = shard_map(step, mesh=mesh,
                         in_specs=(spec2, spec2, P(axis)),
                         out_specs=out_specs, check_rep=False)
+    return jax.jit(sharded)
+
+
+def sharded_locked_step_2d(mesh: Mesh, sps: int = 2,
+                           decoders: tuple = ("fused",),
+                           host_axis: str = "host",
+                           chip_axis: str = "chip"):
+    """Steady-state full chain over a 2-D (host, chip) mesh.
+
+    fn(re [C, T], im [C, T], inits [C]) with carriers sharded over
+    `chip_axis` and TIME sharded over `host_axis` (each host ingests
+    only its own time window — T must be a host-multiple of whole slots,
+    and slot boundaries assumed at bit 0 as in locked_step_ri with
+    phase_bit=0).
+
+    Exactness vs the unsharded chain: the RRC FIR and the differential
+    lag need (ntaps//2 + sps) left / (ntaps-1-ntaps//2) right context,
+    fetched from time-neighbours via ppermute over the host (DCN) axis;
+    stream-edge shards substitute the zero context the unsharded demod
+    uses. The per-chunk timing metric becomes a psum over the host axis
+    (an f32 reduction reorder — argmax ties could in principle flip on
+    pathological inputs; decode outputs are bit-identical on anything
+    non-degenerate, property-tested in tests/test_parallel.py).
+    """
+    from tetra_tpu.lmac import steady
+    from tetra_tpu.phy.dqpsk import rrc_taps, _fir_real
+
+    taps = rrc_taps(sps)
+    ntaps = len(taps)
+    pad_l = ntaps // 2
+    h_left = pad_l + sps
+    h_right = ntaps - 1 - pad_l
+    H = mesh.shape[host_axis]
+
+    def step(re, im, inits):
+        T_loc = re.shape[-1]
+        idx = jax.lax.axis_index(host_axis)
+
+        def ext(x):
+            left = jax.lax.ppermute(x[:, -h_left:], host_axis,
+                                    [(i, (i + 1) % H) for i in range(H)])
+            right = jax.lax.ppermute(x[:, :h_right], host_axis,
+                                     [(i, (i - 1) % H) for i in range(H)])
+            left = jnp.where(idx == 0, 0.0, left)       # stream start
+            right = jnp.where(idx == H - 1, 0.0, right)  # stream end
+            return jnp.concatenate([left, x, right], axis=-1)
+
+        fr = _fir_real(ext(re), taps)
+        fi = _fir_real(ext(im), taps)
+        # differential phasor z[n]*conj(z[n-sps]); the unsharded demod
+        # zero-pads the lag at the stream start
+        cur = lambda f: f[:, h_left: h_left + T_loc]
+        lagv = lambda f: f[:, h_left - sps: h_left - sps + T_loc]
+        edge = (jnp.arange(T_loc) < sps)[None, :] & (idx == 0)
+        lr = jnp.where(edge, 0.0, lagv(fr))
+        li = jnp.where(edge, 0.0, lagv(fi))
+        frc, fic = cur(fr), cur(fi)
+        dr = frc * lr + fic * li
+        di = fic * lr - frc * li
+
+        # timing phase: per-shard partial sums -> global argmax
+        n = (T_loc // sps) * sps
+        drp = dr[..., :n].reshape(*dr.shape[:-1], n // sps, sps)
+        dip = di[..., :n].reshape(*di.shape[:-1], n // sps, sps)
+        mag2 = drp * drp + dip * dip
+        score = jnp.sum(2.0 * jnp.abs(drp * dip) / (mag2 + 1e-12), axis=-2)
+        score = jax.lax.psum(score, host_axis)
+        best = jnp.argmax(score, axis=-1).astype(jnp.int32)
+        sel_r = jnp.take_along_axis(drp, best[..., None, None], axis=-1)[..., 0]
+        sel_i = jnp.take_along_axis(dip, best[..., None, None], axis=-1)[..., 0]
+        b0 = (sel_i <= 0).astype(jnp.int8)
+        b1 = (sel_r < 0).astype(jnp.int8)
+        bits = jnp.stack([b0, b1], axis=-1).reshape(b0.shape[0], -1)
+
+        S = bits.shape[-1] // C.BITS_PER_TS
+        slots = bits[..., : S * C.BITS_PER_TS].reshape(
+            bits.shape[0], S, C.BITS_PER_TS)
+        out = steady.locked_step_bits(slots, inits, decoders=decoders)
+        total = jax.lax.psum(out["crc_ok"].astype(jnp.int32).sum(),
+                             (host_axis, chip_axis))
+        return {"kinds": out["kinds"], "crc_ok": out["crc_ok"],
+                "schf_type1": out["schf"].type1, "crc_ok_total": total}
+
+    spec_t = P(chip_axis, host_axis)
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(spec_t, spec_t, P(chip_axis)),
+        out_specs={"kinds": spec_t, "crc_ok": spec_t,
+                   "schf_type1": P(chip_axis, host_axis, None),
+                   "crc_ok_total": P()},
+        check_rep=False)
     return jax.jit(sharded)
 
 
