@@ -204,6 +204,50 @@ def main():
     ingest_samples_per_s = ingest_samples / t_ing
     ingest_carriers = ingest_samples_per_s / 36000.0
 
+    # ---- stage 7: control plane (host): native executor slots/s ----
+    cp_slots_per_s = cp_py_slots_per_s = None
+    try:
+        from tetra_tpu import testpdu
+        from tetra_tpu.umac import native_exec
+        from tetra_tpu.umac.upper_mac import UpperMac, LogicalChannel
+        from tetra_tpu.tdma import TdmaTime
+        from tetra_tpu.llc.llc import LlcState
+        if native_exec.available():
+            aach_b = np.asarray(testpdu.make_access_assign_bits(0, 5, 9),
+                                np.uint8)
+            res_b = np.asarray(testpdu.make_resource_pdu(
+                ssi=0x1234, sdu_bits=testpdu.make_bl_udata(
+                    testpdu.make_mle_cmce_dsetup())), np.uint8)
+            N_CP, C_CP = 40000, 64
+            recs = np.zeros((N_CP, 9), np.int32)
+            parts = []
+            off = 0
+            for i in range(N_CP):
+                b = aach_b if i % 2 == 0 else res_b
+                lch = (LogicalChannel.AACH if i % 2 == 0
+                       else LogicalChannel.SCH_F)
+                recs[i] = (i % C_CP, lch, 1, 0, (i % 4) + 1, (i % 18) + 1,
+                           1, off, len(b))
+                parts.append(b)
+                off += len(b)
+            all_bits = np.concatenate(parts)
+            cp = native_exec.NativeControlPlane(C_CP)
+            cp.process(all_bits, recs)
+            t_cp = _median_time(lambda: cp.process(all_bits, recs), reps=5)
+            cp_slots_per_s = N_CP / t_cp
+            cp.close()
+            nul = lambda *a, **k: None
+            um = UpperMac(llc=LlcState(log=nul), log=nul)
+            n_py = 2000
+            t0 = time.perf_counter()
+            for i in range(n_py):
+                o, ln = recs[i, 7], recs[i, 8]
+                um.rx_slot(all_bits[o:o + ln], int(recs[i, 1]), True,
+                           TdmaTime(tn=int(recs[i, 4]), fn=int(recs[i, 5])))
+            cp_py_slots_per_s = n_py / (time.perf_counter() - t0)
+    except Exception:
+        pass
+
     result = {
         "metric": "realtime_carriers_per_chip",
         "value": round(chain_carriers, 1),
@@ -220,6 +264,13 @@ def main():
         "h2d_gbps_cold": round(h2d_gbps_cold, 2),
         "ingest_msamples_per_s": round(ingest_samples_per_s / 1e6, 1),
         "ingest_realtime_carriers": round(ingest_carriers, 1),
+        "controlplane_native_slots_per_s": (
+            round(cp_slots_per_s, 1) if cp_slots_per_s else None),
+        "controlplane_native_carriers": (
+            round(cp_slots_per_s / (18000.0 / 255.0), 1)
+            if cp_slots_per_s else None),
+        "controlplane_python_slots_per_s": (
+            round(cp_py_slots_per_s, 1) if cp_py_slots_per_s else None),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

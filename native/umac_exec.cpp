@@ -1,0 +1,578 @@
+// Native control-plane executor: the upper-MAC / LLC / MLE hot slot
+// loop as batch C++ (reference semantics: src/tetra_upper_mac.c:457-547,
+// src/tetra_llc.c:111-179, src/tetra_mle.c:20-53 — behaviour mirrored
+// from the Python implementation in tetra_tpu/umac/upper_mac.py, which
+// stays the semantics reference; differential-tested against it in
+// tests/test_native_umac.py).
+//
+// The Python control plane costs ~100 us/slot (fine per carrier, a
+// bottleneck at thousands of carriers x 70.6 slots/s); this executor
+// consumes batched device-decoded type-1 bit records and emits compact
+// structured events instead of log strings. Unencrypted fast path:
+// encrypted MAC elements are reported (RESOURCE event with
+// is_encrypted=1) but not decrypted — carriers needing decryption route
+// through the Python plane (tetra_tpu/umac/native_exec.py dispatch).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---- event kinds (mirrored in tetra_tpu/umac/native_exec.py) ----
+enum EvKind {
+    EV_TMV = 0,          // a=lchan b=crc_ok c=pdu_type
+    EV_AACH = 1,         // a=hdr b=dl_usage c=ul_usage d=acc fields
+    EV_SYSINFO = 2,      // a=main_carrier b=band*16+offset c=cck/hn d=(la<<12)|bsd
+    EV_RESOURCE = 3,     // a=addr_type b=addr value c=macpdu_length d=(l2len<<1)|enc
+    EV_FRAG_START = 4,   // a=slot b=len
+    EV_FRAG_CONT = 5,    // a=slot b=added
+    EV_FRAG_END = 6,     // a=slot b=added c=total
+    EV_FRAG_AGEOUT = 7,  // a=slot
+    EV_FRAG_NOSTART = 8, // a=slot b=length_bits
+    EV_FRAG_ACTIVE = 9,  // a=slot (WARNING: still active)
+    EV_SUPPL = 10,       // a=sdu_len
+    EV_TMSDU = 11,       // a=dec type b=(ns<<8)|ss c=fcs(0 none/1 ok/2 bad) d=len
+    EV_TLSDU = 12,       // a=pdisc b=pdut(-1 unknown) c=len
+    EV_STRANGE_PDU = 13, // a=pdu_type
+    EV_STRANGE_LCHAN = 14, // a=lchan
+    EV_MISS = 15,        // a=last_ss b=ss
+    EV_TMSDU_RUNT = 16,  // a=length
+};
+
+// logical channels (tetra_tpu/umac/upper_mac.py LogicalChannel)
+enum { LCH_UNKNOWN = 0, LCH_SCH_F = 1, LCH_SCH_HD = 2, LCH_AACH = 8,
+       LCH_BSCH = 10, LCH_BNCH = 11 };
+
+enum { MACPDU_RESOURCE = 0, MACPDU_FRAG_END = 1, MACPDU_BCAST = 2,
+       MACPDU_SUPPL = 3 };
+constexpr int LEN_2ND_STOLEN = -2, LEN_START_FRAG = -1;
+constexpr int N203 = 6, NR_FRAGSLOTS = 5;
+
+// decoded LLC pdu kinds (llc_pdu.py LlcPduDec)
+enum {
+    DEC_UNKNOWN = 0, DEC_BL_ADATA = 1, DEC_BL_DATA = 2, DEC_BL_UDATA = 3,
+    DEC_BL_ACK = 4, DEC_AL_SETUP = 5, DEC_AL_DATA = 6, DEC_AL_FINAL = 7,
+    DEC_AL_UDATA = 8, DEC_AL_UFINAL = 9, DEC_AL_ACK = 10, DEC_AL_RNR = 11,
+    DEC_AL_RECONNECT = 12, DEC_AL_DISC = 13,
+};
+
+struct Bits {  // a view of unpacked bits (1 byte per bit)
+    const uint8_t *p;
+    int64_t n;
+    int bit(int64_t i) const { return (i >= 0 && i < n) ? (p[i] & 1) : 0; }
+    // numpy-slice semantics: bits[pos:pos+w] clamps, value over the
+    // bits actually present (matches utils.bits.bits_to_uint on a
+    // short slice)
+    int64_t u(int64_t pos, int w) const {
+        if (pos < 0) pos = 0;
+        int64_t end = pos + w;
+        if (end > n) end = n;
+        int64_t v = 0;
+        for (int64_t i = pos; i < end; i++) v = (v << 1) | (p[i] & 1);
+        return v;
+    }
+    Bits slice(int64_t a, int64_t b) const {  // [a:b] with clamping
+        if (a < 0) a = 0;
+        if (b > n) b = n;
+        if (b < a) b = a;
+        return Bits{p + a, b - a};
+    }
+};
+
+// fill bits end at the last '1'; index 0 never checked (upper_mac.py
+// _num_fill_bits, reference tetra_upper_mac.c:75-84)
+int num_fill_bits(const Bits &b) {
+    for (int64_t i = 1; i < b.n; i++)
+        if (b.p[b.n - i] & 1) return (int)i;
+    return 0;
+}
+
+int decode_length(int li) {  // mac_pdu.py _decode_length
+    if (li == 0 || li == 0x3B || li == 0x3C) return -22;
+    if (li <= 0x12) return li;
+    if (li <= 0x3A) return 18 + (li - 18);
+    if (li == 0x3E) return LEN_2ND_STOLEN;
+    if (li == 0x3F) return LEN_START_FRAG;
+    return -22;
+}
+
+int decode_nr_slots(int v) {
+    static const int tbl[16] = {0, 1, 2, 3, 4, 5, 6, 8,
+                                10, 13, 17, 24, 34, 51, 68, 0xFF};
+    return tbl[v & 0xF];
+}
+
+// channel-allocation element; returns bit length consumed
+int decode_chan_alloc(const Bits &b) {
+    int64_t pos = 0;
+    pos += 2 + 4;                      // type, timeslot
+    int ul_dl = (int)b.u(pos, 2); pos += 2;
+    pos += 1 + 1 + 12;                 // clch_perm, cell_chg, carrier_nr
+    int ext = (int)b.u(pos, 1); pos += 1;
+    if (ext) pos += 4 + 2 + 3 + 1;
+    int monit = (int)b.u(pos, 2); pos += 2;
+    if (monit == 0) pos += 2;
+    if (ul_dl == 0) {                  // augmented (QAM) allocation
+        pos += 2 + 3 + 3 + 3;          // ul_dl_ass, bw, mod, max_ul_qam
+        pos += 3;                      // skip
+        pos += 3 + 4 + 5;              // conf_chan_stat, imbalance, tx_rel
+        int nap = (int)b.u(pos, 2); pos += 2;
+        if (nap == 1) pos += 11;
+        pos += 4;
+        if (b.u(pos, 1)) { pos += 1 + 16; } else pos += 1;
+        if (b.u(pos, 1)) { pos += 1 + 16; } else pos += 1;
+        pos += 1;
+    }
+    return (int)pos;
+}
+
+struct ResourceHdr {
+    int fill_bits, encryption_mode, is_encrypted, macpdu_length;
+    int addr_type;
+    int64_t addr_value;  // packed like native_exec.py normalizer
+    int slot_granting_pres, chan_alloc_pres;
+    int bit_len;         // TM-SDU offset (0 for null PDU)
+};
+
+ResourceHdr decode_resource(const Bits &b) {
+    ResourceHdr r{};
+    int64_t pos = 2;
+    r.fill_bits = b.bit(pos); pos += 1;
+    pos += 1;                               // grant position
+    r.encryption_mode = (int)b.u(pos, 2); pos += 2;
+    r.is_encrypted = r.encryption_mode > 0 ? 1 : 0;
+    pos += 1;                               // random access flag
+    r.macpdu_length = decode_length((int)b.u(pos, 6)); pos += 6;
+    r.addr_type = (int)b.u(pos, 3); pos += 3;
+    int64_t base = pos;
+    static const int addr_len[8] = {0, 24, 10, 24, 24, 34, 30, 34};
+    switch (r.addr_type) {
+    case 0: r.bit_len = 0; return r;        // null PDU
+    case 1: case 3: case 4:                 // SSI / USSI / SMI
+        r.addr_value = b.u(base, 24); break;
+    case 2:                                 // event label
+        r.addr_value = b.u(base, 10); break;
+    case 5: case 7:                         // SSI + event label
+        r.addr_value = (b.u(base, 24) << 10) | b.u(base + 24, 10); break;
+    case 6:                                 // SSI + usage marker
+        r.addr_value = (b.u(base, 24) << 6) | b.u(base + 24, 6); break;
+    }
+    pos += addr_len[r.addr_type];
+    int power = b.bit(pos); pos += 1;
+    if (power) pos += 4;
+    r.slot_granting_pres = b.bit(pos); pos += 1;
+    if (r.slot_granting_pres) { decode_nr_slots((int)b.u(pos, 4)); pos += 8; }
+    r.chan_alloc_pres = b.bit(pos); pos += 1;
+    if (r.chan_alloc_pres && !r.is_encrypted)
+        pos += decode_chan_alloc(b.slice(pos, b.n));
+    r.bit_len = (int)pos;
+    return r;
+}
+
+uint32_t fcs32(const Bits &b) {  // ops/crc.py fcs32_np semantics
+    uint32_t crc = 0xFFFFFFFFu;
+    if (b.n < 32) crc <<= (32 - b.n);
+    for (int64_t j = 0; j < b.n; j++) {
+        uint32_t bit = (b.p[j] ^ (crc >> 31)) & 1u;
+        crc <<= 1;
+        if (bit) crc ^= 0x04C11DB7u;
+    }
+    return ~crc;
+}
+
+struct Frag {
+    bool active = false;
+    int age = 0, num = 0, length = 0;
+    bool enc = false;
+    std::vector<uint8_t> bits;
+};
+
+struct Defrag {
+    bool present = false;
+    int last_ss = 0;
+    std::vector<uint8_t> bits;
+};
+
+struct Carrier {
+    Frag frags[NR_FRAGSLOTS];
+    Defrag defrag[256];
+    int is_traffic = 0;
+};
+
+struct Ctx {
+    std::vector<Carrier> carriers;
+    // event output (set per process call)
+    int32_t *ev_car, *ev_kind;
+    int64_t *ev_a, *ev_b, *ev_c, *ev_d;
+    int64_t ev_max, ev_n, overflow;
+    int cur_carrier;
+    int cur_slot_tn;
+
+    void emit(int kind, int64_t a = 0, int64_t b = 0, int64_t c = 0,
+              int64_t d = 0) {
+        if (ev_n >= ev_max) { overflow = 1; return; }
+        ev_car[ev_n] = cur_carrier;
+        ev_kind[ev_n] = kind;
+        ev_a[ev_n] = a; ev_b[ev_n] = b; ev_c[ev_n] = c; ev_d[ev_n] = d;
+        ev_n++;
+    }
+};
+
+// ---- LLC / MLE ----
+
+void rx_tl_sdu(Ctx &cx, const Bits &sdu) {
+    int pdisc = (int)sdu.u(0, 3);
+    int64_t pdut = -1;
+    if (pdisc == 1) pdut = sdu.u(3, 4);        // MM
+    else if (pdisc == 2) pdut = sdu.u(3, 5);   // CMCE
+    else if (pdisc == 4) pdut = sdu.u(3, 4);   // SNDCP
+    else if (pdisc == 5) pdut = sdu.u(3, 3);   // MLE
+    cx.emit(EV_TLSDU, pdisc, pdut, sdu.n);
+}
+
+void defrag_out(Ctx &cx, Carrier &car, int ns) {
+    Defrag &d = car.defrag[ns & 0xFF];
+    if (!d.present) return;
+    Bits full{d.bits.data(), (int64_t)d.bits.size()};
+    rx_tl_sdu(cx, full);
+    d.present = false;
+    d.last_ss = 0;
+    d.bits.clear();
+}
+
+void rx_tm_sdu(Ctx &cx, Carrier &car, const Bits &in, int64_t length) {
+    if (!length) return;
+    if (length < 4) { cx.emit(EV_TMSDU_RUNT, length); return; }
+    Bits b = in.slice(0, length);
+    int64_t n = b.n;
+    int pt = (int)b.u(0, 4);
+    int64_t pos = 4;
+    static const int min_len[16] = {6, 5, 4, 5, 38, 37, 36, 37,
+                                    0, 13, 17, 1, 0, 0, 0, 0};
+    int dec = DEC_UNKNOWN;
+    int64_t ns = 0, ss = 0, sdu_off = 0, sdu_len = 0;
+    int fcs_state = 0;  // 0 none, 1 ok, 2 bad
+    if (n < min_len[pt]) {
+        cx.emit(EV_TMSDU, DEC_UNKNOWN, 0, 0, 0);
+        return;
+    }
+    auto fcs_tail = [&](int64_t payload_start) {
+        sdu_len -= 32;
+        int64_t want = b.u(n - 32, 32);
+        uint32_t got = fcs32(b.slice(payload_start, payload_start + sdu_len));
+        fcs_state = (got == (uint32_t)want) ? 1 : 2;
+    };
+    switch (pt) {
+    case 0: case 4:  // BL-ADATA: N(R) then N(S)
+        pos += 1;
+        ns = b.bit(pos); pos += 1;
+        sdu_off = pos; sdu_len = n - pos; dec = DEC_BL_ADATA;
+        if (pt == 4) fcs_tail(pos);
+        break;
+    case 1: case 5:  // BL-DATA
+        ns = b.bit(pos); pos += 1;
+        sdu_off = pos; sdu_len = n - pos; dec = DEC_BL_DATA;
+        if (pt == 5) fcs_tail(pos);
+        break;
+    case 2: case 6:  // BL-UDATA
+        sdu_off = pos; sdu_len = n - pos; dec = DEC_BL_UDATA;
+        if (pt == 6) fcs_tail(pos);
+        break;
+    case 3: case 7:  // BL-ACK
+        pos += 1;
+        sdu_off = pos; sdu_len = n - pos; dec = DEC_BL_ACK;
+        if (pt == 7) fcs_tail(pos);
+        break;
+    case 8: dec = DEC_AL_SETUP; sdu_off = pos; sdu_len = 0; break;
+    case 9: {        // AL-DATA/FINAL
+        int final = b.bit(pos); pos += 1;
+        pos += 1;
+        ns = b.u(pos, 3); pos += 3;
+        ss = b.u(pos, 8); pos += 8;
+        sdu_off = pos; sdu_len = n - pos;
+        if (final) { dec = DEC_AL_FINAL; fcs_state = 1; }  // have_fcs, not checked
+        else dec = DEC_AL_DATA;
+        break;
+    }
+    case 10: {       // AL-UDATA/UFINAL
+        int ufinal = b.bit(pos); pos += 1;
+        ns = b.u(pos, 8); pos += 8;
+        ss = b.u(pos, 8); pos += 8;
+        sdu_off = pos; sdu_len = n - pos;
+        if (ufinal) { dec = DEC_AL_UFINAL; fcs_state = 1; }
+        else dec = DEC_AL_UDATA;
+        break;
+    }
+    case 11: {
+        int ack = b.bit(pos); pos += 1;
+        dec = ack ? DEC_AL_ACK : DEC_AL_RNR;
+        sdu_off = pos; sdu_len = 0;
+        break;
+    }
+    case 12: dec = DEC_AL_RECONNECT; sdu_off = pos; sdu_len = 0; break;
+    case 15: dec = DEC_AL_DISC; sdu_off = pos; sdu_len = 0; break;
+    default: dec = DEC_UNKNOWN; sdu_off = pos; sdu_len = 0; break;
+    }
+    if (n < pos) sdu_len = 0;  // truncated PDU guard
+    cx.emit(EV_TMSDU, dec, (ns << 8) | ss, fcs_state, sdu_len);
+    if (!sdu_len) return;
+
+    Bits sdu = b.slice(sdu_off, sdu_off + sdu_len);
+    switch (dec) {
+    case DEC_BL_ADATA: case DEC_BL_DATA: case DEC_BL_UDATA: case DEC_BL_ACK:
+    case DEC_AL_SETUP: case DEC_AL_ACK: case DEC_AL_RNR:
+    case DEC_AL_RECONNECT: case DEC_AL_DISC:
+        rx_tl_sdu(cx, sdu);
+        break;
+    case DEC_AL_DATA: case DEC_AL_UDATA: {
+        Defrag &d = car.defrag[ns & 0xFF];
+        if (!d.present) { d.present = true; d.last_ss = 0; d.bits.clear(); }
+        if (d.last_ss == 0 || d.last_ss == ss - 1) {
+            d.last_ss = (int)ss;
+            d.bits.insert(d.bits.end(), sdu.p, sdu.p + sdu.n);
+        } else {
+            cx.emit(EV_MISS, d.last_ss, ss);
+        }
+        break;
+    }
+    case DEC_AL_FINAL: case DEC_AL_UFINAL: {
+        Defrag &d = car.defrag[ns & 0xFF];
+        if (!d.present) { d.present = true; d.last_ss = 0; d.bits.clear(); }
+        if (d.last_ss == 0 || d.last_ss == ss - 1) {
+            d.last_ss = (int)ss;
+            d.bits.insert(d.bits.end(), sdu.p, sdu.p + sdu.n);
+        } else {
+            cx.emit(EV_MISS, d.last_ss, ss);
+        }
+        defrag_out(cx, car, (int)ns);
+        break;
+    }
+    default: break;
+    }
+}
+
+// ---- upper MAC ----
+
+void cleanup_frag(Carrier &car, int slot) { car.frags[slot] = Frag(); }
+
+void age_fragslots(Ctx &cx, Carrier &car) {
+    for (int i = 0; i < NR_FRAGSLOTS; i++) {
+        Frag &f = car.frags[i];
+        if (f.active && ++f.age > N203) {
+            cx.emit(EV_FRAG_AGEOUT, i, f.num, f.length);
+            cleanup_frag(car, i);
+        }
+    }
+}
+
+void append_frag(Carrier &car, int slot, const Bits &b) {
+    Frag &f = car.frags[slot];
+    f.bits.insert(f.bits.end(), b.p, b.p + b.n);
+    f.length += (int)b.n;
+    f.num += 1;
+    f.age = 0;
+}
+
+int rx_bcast(Ctx &cx, const Bits &b) {
+    int64_t main_carrier = b.u(4, 12);
+    int band = (int)b.u(16, 4), off = (int)b.u(20, 2);
+    // header(4) + carrier(12) band(4) off(2) dup(3) rev(1) csch(2)
+    // txpwr(3) rxlev(4) acc(4) timeout(4) -> cck flag at bit 43
+    int cck_valid = b.bit(43);
+    int64_t val16 = b.u(44, 16);  // read without advancing (ref quirk)
+    int64_t la = b.u(124 - 42, 14);
+    int64_t bsd = b.u(124 - 42 + 14 + 16, 12);
+    cx.emit(EV_SYSINFO, main_carrier, band * 16 + off,
+            (int64_t)cck_valid << 32 | val16, (la << 12) | bsd);
+    return -1;
+}
+
+void rx_aach(Ctx &cx, Carrier &car, const Bits &b, int fn) {
+    int hdr = (int)b.u(0, 2);
+    int f1 = (int)b.u(2, 6), f2 = (int)b.u(8, 6);
+    int dl = -1, ul = -1, a1 = 255, a2 = 255;
+    if (fn != 18) {
+        if (hdr == 0) { a1 = f1; a2 = f2; }
+        else if (hdr == 1 || hdr == 2) { dl = f1; a2 = f2; }
+        else { dl = f1; ul = f2; }
+    } else {
+        if (hdr <= 2) { a1 = f1; a2 = f2; }
+        else a2 = f2;
+    }
+    cx.emit(EV_AACH, hdr, dl, ul, ((int64_t)a1 << 8) | a2);
+    car.is_traffic = dl > 3 ? dl : 0;
+}
+
+int rx_resrc(Ctx &cx, Carrier &car, const Bits &in) {
+    Bits b = in;
+    ResourceHdr r = decode_resource(b);
+    int64_t tmpdu = r.bit_len;
+    int64_t pdu_bits;
+    if (r.macpdu_length == LEN_2ND_STOLEN) pdu_bits = -1;
+    else if (r.macpdu_length == LEN_START_FRAG) pdu_bits = -1;
+    else {
+        pdu_bits = (int64_t)r.macpdu_length * 8;
+        if (pdu_bits > 0 && pdu_bits <= b.n) b = b.slice(0, pdu_bits);
+    }
+    if (r.fill_bits) {
+        int nfb = num_fill_bits(b);
+        b = b.slice(0, b.n - nfb);
+    }
+    // no keystore in the native plane: encrypted elements stay encrypted
+    int64_t l2len = b.n - tmpdu > 0 ? b.n - tmpdu : 0;
+    cx.emit(EV_RESOURCE, r.addr_type, r.addr_value, r.macpdu_length,
+            (l2len << 1) | r.is_encrypted);
+    if (r.addr_type == 0) return -1;
+    if (l2len == 0 || r.is_encrypted) return (int)pdu_bits;
+
+    Bits sdu = b.slice(tmpdu, b.n);
+    if (r.macpdu_length != LEN_START_FRAG) {
+        rx_tm_sdu(cx, car, sdu, sdu.n);
+    } else {
+        int slot = cx.cur_slot_tn;
+        Frag &f0 = car.frags[slot];
+        if (f0.active) {
+            cx.emit(EV_FRAG_ACTIVE, slot);
+            cleanup_frag(car, slot);
+        }
+        Frag &f = car.frags[slot];
+        f.active = true;
+        f.enc = r.encryption_mode > 0;
+        append_frag(car, slot, sdu);
+        cx.emit(EV_FRAG_START, slot, sdu.n);
+    }
+    return (int)pdu_bits;
+}
+
+int rx_macfrag(Ctx &cx, Carrier &car, const Bits &b, int slot) {
+    Frag &f = car.frags[slot];
+    if (!f.active) { cx.emit(EV_FRAG_NOSTART, slot, -1); return -1; }
+    int64_t nn = 3;
+    int fill = b.bit(nn); nn += 1;
+    Bits body = b.slice(nn, b.n);
+    if (fill) body = body.slice(0, b.n - num_fill_bits(b) - nn);
+    // encrypted fragment bodies without a key: appended as-is (Python
+    // plane with no keystore behaves identically)
+    append_frag(car, slot, body);
+    cx.emit(EV_FRAG_CONT, slot, body.n);
+    return -1;
+}
+
+int rx_macend(Ctx &cx, Carrier &car, const Bits &b, int slot) {
+    Frag &f = car.frags[slot];
+    int64_t nn = 3;
+    int fill = b.bit(nn); nn += 1;
+    nn += 1;  // grant position
+    int64_t length_ind = b.u(nn, 6); nn += 6;
+    if (!f.active) {
+        cx.emit(EV_FRAG_NOSTART, slot, length_ind * 8);
+        cleanup_frag(car, slot);
+        return (int)(length_ind * 8);
+    }
+    int slot_granting = b.bit(nn); nn += 1;
+    if (slot_granting) nn += 8;
+    int chanalloc = b.bit(nn); nn += 1;
+    int64_t body_end = length_ind * 8 < b.n ? length_ind * 8 : b.n;
+    Bits work = b.slice(0, body_end);
+    if (fill) work = work.slice(0, work.n - num_fill_bits(work));
+    if (chanalloc)
+        nn += decode_chan_alloc(work.slice(nn, work.n));
+    Bits body = work.slice(nn, work.n);
+    append_frag(car, slot, body);
+    cx.emit(EV_FRAG_END, slot, body.n, f.length);
+    if (!f.enc) {
+        Bits full{f.bits.data(), (int64_t)f.bits.size()};
+        rx_tm_sdu(cx, car, full, f.length);
+    }
+    cleanup_frag(car, slot);
+    return (int)(length_ind * 8);
+}
+
+int rx_suppl(Ctx &cx, Carrier &car, const Bits &b) {
+    int slot_granting = b.bit(17);
+    int64_t off = 17 + 1 + (slot_granting ? 8 : 0);
+    Bits sdu = b.slice(off, b.n);
+    int64_t len = sdu.n < 100 ? sdu.n : 100;
+    cx.emit(EV_SUPPL, sdu.n);
+    rx_tm_sdu(cx, car, sdu, len);
+    return -1;
+}
+
+}  // namespace
+
+extern "C" {
+
+void *tetra_umac_create(int n_carriers) {
+    Ctx *cx = new Ctx();
+    cx->carriers.resize(n_carriers);
+    return cx;
+}
+
+void tetra_umac_destroy(void *p) { delete (Ctx *)p; }
+
+// recs: n x 9 int32 = carrier, lchan, crc_ok, blk_num, tn, fn, mn,
+// bit offset, bit length (offsets into `bits`, 1 byte per bit).
+// Returns events written; sets *overflow when the buffer was too small.
+int64_t tetra_umac_process(void *p, const uint8_t *bits,
+                           const int32_t *recs, int64_t n_recs,
+                           int32_t *ev_car, int32_t *ev_kind,
+                           int64_t *ev_a, int64_t *ev_b, int64_t *ev_c,
+                           int64_t *ev_d, int64_t max_events,
+                           int32_t *overflow) {
+    Ctx &cx = *(Ctx *)p;
+    cx.ev_car = ev_car; cx.ev_kind = ev_kind;
+    cx.ev_a = ev_a; cx.ev_b = ev_b; cx.ev_c = ev_c; cx.ev_d = ev_d;
+    cx.ev_max = max_events; cx.ev_n = 0; cx.overflow = 0;
+
+    for (int64_t i = 0; i < n_recs; i++) {
+        const int32_t *r = recs + 9 * i;
+        int carrier = r[0], lchan = r[1], crc_ok = r[2];
+        int tn = r[4], fn = r[5];
+        if (carrier < 0 || carrier >= (int)cx.carriers.size()) continue;
+        Carrier &car = cx.carriers[carrier];
+        cx.cur_carrier = carrier;
+        cx.cur_slot_tn = tn >= 0 && tn < NR_FRAGSLOTS ? tn : 0;
+        Bits all{bits + r[7], r[8]};
+
+        // multi-PDU slot loop (upper_mac.py rx_slot do-while)
+        int64_t total = all.n, offset = 0;
+        while (true) {
+            Bits b = all.slice(offset, total);
+            int pdu_type = b.n >= 2 ? (int)b.u(0, 2) : 0;
+            cx.emit(EV_TMV, lchan, crc_ok, pdu_type);
+            int64_t pdu_bits = -1;
+            if (!crc_ok) { /* consumed */ }
+            else {
+                if (fn == 18) age_fragslots(cx, car);
+                if (lchan == LCH_AACH) rx_aach(cx, car, b, fn);
+                else if (lchan == LCH_BSCH) { /* SYNC handled above MAC */ }
+                else if (lchan == LCH_BNCH || lchan == LCH_UNKNOWN ||
+                         lchan == LCH_SCH_F || lchan == LCH_SCH_HD) {
+                    if (pdu_type == MACPDU_BCAST) pdu_bits = rx_bcast(cx, b);
+                    else if (pdu_type == MACPDU_RESOURCE)
+                        pdu_bits = rx_resrc(cx, car, b);
+                    else if (pdu_type == MACPDU_SUPPL)
+                        pdu_bits = rx_suppl(cx, car, b);
+                    else if (pdu_type == MACPDU_FRAG_END) {
+                        if (b.bit(2) == 0)
+                            pdu_bits = rx_macfrag(cx, car, b, cx.cur_slot_tn);
+                        else
+                            pdu_bits = rx_macend(cx, car, b, cx.cur_slot_tn);
+                    } else {
+                        cx.emit(EV_STRANGE_PDU, pdu_type);
+                    }
+                } else {
+                    cx.emit(EV_STRANGE_LCHAN, lchan);
+                }
+            }
+            if (pdu_bits <= 0) break;
+            offset += pdu_bits;
+            if (offset >= total - 16) break;
+        }
+    }
+    if (overflow) *overflow = (int32_t)cx.overflow;
+    return cx.ev_n;
+}
+
+}  // extern "C"

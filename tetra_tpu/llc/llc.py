@@ -30,7 +30,12 @@ class LlcState:
     # sinks
     tl_sdu_cb: Callable | None = None            # fn(bits, length) -> None
     ip_cb: Callable | None = None                # fn(packed_bytes) -> None
+    event_cb: Callable | None = None             # fn(tuple) structured events
     log: Callable = print
+
+    def _event(self, *ev):
+        if self.event_cb:
+            self.event_cb(ev)
 
 
 def _defrag_in(llcs: LlcState, lpp, sdu_bits):
@@ -45,6 +50,7 @@ def _defrag_in(llcs: LlcState, lpp, sdu_bits):
         dqe.bits.append(np.asarray(sdu_bits, dtype=np.uint8))
     else:
         llcs.log(f"<<MISS:{dqe.last_ss}-{lpp.ss}>> ", end="")
+        llcs._event("MISS", dqe.last_ss, lpp.ss)
 
 
 def _defrag_out(llcs: LlcState, lpp):
@@ -72,6 +78,7 @@ def rx_tm_sdu(llcs: LlcState, bits, length: int):
         return None
     if length < 4:
         llcs.log(f"WARNING rx_tm_sdu: l2len too small: {length}")
+        llcs._event("TMSDU_RUNT", length)
         return None
 
     bits = np.asarray(bits, dtype=np.uint8)[:length]
@@ -85,6 +92,9 @@ def rx_tm_sdu(llcs: LlcState, bits, length: int):
     if lpp.tl_sdu_len:
         msg += " " + "".join(str(int(b)) for b in sdu)
     llcs.log(msg)
+    llcs._event("TMSDU", int(lpp.pdu_type), lpp.ns, lpp.ss,
+                0 if not lpp.have_fcs else (2 if lpp.fcs_invalid else 1),
+                lpp.tl_sdu_len)
 
     if not lpp.tl_sdu_len:
         return lpp

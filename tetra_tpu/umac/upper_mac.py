@@ -124,6 +124,8 @@ class UpperMac:
                 if fs.age > N203:
                     self.log(f"\nFRAG: aged out old fragments for slot={i} "
                              f"fragments={fs.num_frags} length={fs.length} timer={fs.age}")
+                    self.events.append(("FRAG_AGEOUT", i, fs.num_frags,
+                                        fs.length))
                     self._cleanup_fragslot(i)
 
     def _append_frag(self, slot: int, bits):
@@ -224,7 +226,7 @@ class UpperMac:
                      else f" ChanAlloc={self._alloc_dump(rsd.cad)}")
         if rsd.slot_granting_pres:
             line += f" SlotGrant={rsd.slot_granting_nr_slots}/{rsd.slot_granting_delay}"
-        self.events.append(("RESOURCE", rsd))
+        self.events.append(("RESOURCE", rsd, l2len))
 
         if rsd.addr.type == AddrType.NULL:
             self.log(line)
@@ -246,6 +248,7 @@ class UpperMac:
             fs = self.fragslots[slot]
             if fs.active:
                 self.log("\nWARNING: fragment slot still active")
+                self.events.append(("FRAG_ACTIVE", slot))
                 self._cleanup_fragslot(slot)
             fs = self.fragslots[slot]
             fs.active = True
@@ -253,6 +256,7 @@ class UpperMac:
             fs.key = key
             self._append_frag(slot, sdu)
             self.log(f"\nFRAG-START slot={slot} len={len(sdu)}")
+            self.events.append(("FRAG_START", slot, len(sdu)))
         return pdu_bits
 
     def rx_macfrag(self, tup: TmvUnitdata) -> int:
@@ -262,6 +266,7 @@ class UpperMac:
         fs = self.fragslots[slot]
         if not fs.active:
             self.log(f"WARNING got fragment without start packet for slot={slot}")
+            self.events.append(("FRAG_NOSTART", slot, -1))
             return -1
         n = 2 + 1  # MAC-FRAG/END (01) + MAC-FRAG (0)
         fill = bits[n]
@@ -275,6 +280,7 @@ class UpperMac:
             body = dec[n:]
         self._append_frag(slot, body)
         self.log(f"FRAG-CONT slot={slot} added={len(body)}")
+        self.events.append(("FRAG_CONT", slot, len(body)))
         return -1
 
     def rx_macend(self, tup: TmvUnitdata) -> int:
@@ -289,6 +295,7 @@ class UpperMac:
         if not fs.active:
             self.log(f"FRAG: got end frag with len {length_ind * 8} without "
                      f"start packet for slot={slot}")
+            self.events.append(("FRAG_NOSTART", slot, length_ind * 8))
             self._cleanup_fragslot(slot)
             return length_ind * 8
         slot_granting = bits[n]; n += 1
@@ -307,6 +314,7 @@ class UpperMac:
         body = work[n:]
         self._append_frag(slot, body)
         self.log(f"FRAG-END slot={slot} added={len(body)}")
+        self.events.append(("FRAG_END", slot, len(body), fs.length))
         if not fs.encryption or fs.key is not None:
             full = np.concatenate(fs.bits)
             rx_tm_sdu(self.llc, full, fs.length)
@@ -320,6 +328,7 @@ class UpperMac:
         tmpdu_offset = 17 + 1 + (8 if slot_granting else 0)
         self.log("SUPPLEMENTARY MAC-D-BLOCK ")
         sdu = bits[tmpdu_offset:]
+        self.events.append(("SUPPL", len(sdu)))
         rx_tm_sdu(self.llc, sdu, min(100, len(sdu)))
         return -1
 
@@ -354,6 +363,7 @@ class UpperMac:
         self.log(f"TMV-UNITDATA.ind {tup.tdma_time.dump()} "
                  f"{LogicalChannel.NAMES.get(tup.lchan, '?')} "
                  f"CRC={int(tup.crc_ok)} {pdu_name}")
+        self.events.append(("TMV", tup.lchan, int(tup.crc_ok), pdu_type))
         if not tup.crc_ok:
             return -1
 
@@ -384,8 +394,10 @@ class UpperMac:
                 self.log("FRAG/END (reassembly disabled)")
                 return -1
             self.log(f"STRANGE pdu={pdu_type}")
+            self.events.append(("STRANGE_PDU", pdu_type))
             return -1
         self.log(f"STRANGE lchan={tup.lchan}")
+        self.events.append(("STRANGE_LCHAN", tup.lchan))
         return -1
 
     def rx_slot(self, type1_bits, lchan: int, crc_ok: bool, time: TdmaTime,
