@@ -161,8 +161,8 @@ def _decode_segmented_auto(soft, rmask):
     return decode_segmented_pallas(soft, rmask, N_SYM, BOUNDARIES)
 
 
-@jax.jit
-def decode_slots_fused(slots, inits, kinds):
+@functools.partial(jax.jit, static_argnames=("soft_input",))
+def decode_slots_fused(slots, inits, kinds, soft_input: bool = False):
     """Mixed-kind batched lower MAC: slots [..., 510] + per-slot
     scrambling codes [...] + classified kinds [...] (0 SYNC / 1 SCH/F /
     2 NDB / -1 none, from steady.verify_train_seq) -> decoded blocks.
@@ -171,10 +171,16 @@ def decode_slots_fused(slots, inits, kinds):
     ndb1/ndb2 BlockResults + kinds + crc_ok) with ONE Viterbi pass per
     slot; each kind's fields are only meaningful on slots OF that kind
     (other lanes hold whatever the unified trellis produced there).
+
+    soft_input=True takes per-bit soft reliabilities (positive = bit 0,
+    dqpsk.demodulate_soft_slotwise_ri) instead of hard bits; descramble
+    becomes a sign flip and the (linear) assembly matmul carries the
+    amplitudes into the soft Viterbi — ~2 dB over hard slicing.
     """
     batch = slots.shape[:-1]
     N = int(np.prod(batch)) if batch else 1
-    slots_f = slots.reshape(N, C.BITS_PER_TS).astype(jnp.int8)
+    in_dtype = jnp.float32 if soft_input else jnp.int8
+    slots_f = slots.reshape(N, C.BITS_PER_TS).astype(in_dtype)
     inits_f = jnp.broadcast_to(inits, batch).reshape(N).astype(jnp.uint32)
     kinds_f = kinds.reshape(N)
     k = jnp.clip(kinds_f, 0, 2)
@@ -185,7 +191,7 @@ def decode_slots_fused(slots, inits, kinds):
         ks_cell,
         jnp.broadcast_to(jnp.asarray(ks_fixed), (N, 120)),
         jnp.zeros((N, 1), jnp.int8)], axis=-1)
-    srcv = jnp.concatenate([slots_f, jnp.zeros((N, 1), jnp.int8)], axis=-1)
+    srcv = jnp.concatenate([slots_f, jnp.zeros((N, 1), in_dtype)], axis=-1)
 
     # per-kind CONSTANT index maps -> static gathers (cheap copies) and
     # one one-hot bf16 matmul each for the depuncture/deinterleave
@@ -193,10 +199,14 @@ def decode_slots_fused(slots, inits, kinds):
     # and dominate the whole pipeline
     soft = jnp.zeros((N, N_MOTHER), jnp.float32)
     for kk in range(3):
-        b = (jnp.take(srcv, jnp.asarray(sel_slot[kk]), axis=-1)
-             ^ jnp.take(ksv, jnp.asarray(sel_ks[kk]), axis=-1))
+        ks_k = jnp.take(ksv, jnp.asarray(sel_ks[kk]), axis=-1)
+        src_k = jnp.take(srcv, jnp.asarray(sel_slot[kk]), axis=-1)
         dt = pipeline_mod._mm_dtype()
-        sgn = (1 - 2 * b.astype(jnp.int8)).astype(dt)
+        if soft_input:
+            # descramble = sign flip; amplitudes carried through
+            sgn = (src_k * (1 - 2 * ks_k.astype(jnp.float32))).astype(dt)
+        else:
+            sgn = (1 - 2 * (src_k ^ ks_k).astype(jnp.int8)).astype(dt)
         s = jnp.dot(sgn, jnp.asarray(P[kk], dt),
                     preferred_element_type=jnp.float32)
         soft = jnp.where((k == kk)[:, None], s, soft)
@@ -216,9 +226,12 @@ def decode_slots_fused(slots, inits, kinds):
     ndb2 = block(bits[:, 144:288], 124)
 
     # broadcast block: kind-selected position, fresh cell keystream,
-    # reference copy-through semantics (tetra_lower_mac.c:268-271)
-    bbk_sync = jnp.take(slots_f, jnp.asarray(bbk_pidx[0]), axis=-1)
-    bbk_norm = jnp.take(slots_f, jnp.asarray(bbk_pidx[1]), axis=-1)
+    # reference copy-through semantics (tetra_lower_mac.c:268-271);
+    # BBK has no FEC, so soft inputs are hard-sliced here
+    slots_h = ((slots_f < 0).astype(jnp.int8) if soft_input
+               else slots_f)
+    bbk_sync = jnp.take(slots_h, jnp.asarray(bbk_pidx[0]), axis=-1)
+    bbk_norm = jnp.take(slots_h, jnp.asarray(bbk_pidx[1]), axis=-1)
     bbk_t4 = jnp.where((k == 0)[:, None], bbk_sync, bbk_norm) ^ ks_cell[:, :30]
     bbk = BlockResult(bbk_t4[:, :14].reshape(*batch, 14),
                       jnp.ones(batch, bool), bbk_t4.reshape(*batch, 30))

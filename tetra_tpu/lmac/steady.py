@@ -21,8 +21,34 @@ from tetra_tpu import constants as C
 from tetra_tpu.phy import dqpsk
 from tetra_tpu.lmac import pipeline
 
-__all__ = ["verify_train_seq", "locked_step_bits", "locked_step_iq",
-           "locked_step_fused"]
+__all__ = ["verify_train_seq", "classify_train_seq", "locked_step_bits",
+           "locked_step_iq", "locked_step_fused"]
+
+
+def classify_train_seq(slots, min_agree: float = 0.75):
+    """Noise-tolerant slot classification: nearest training template by
+    bit-agreement fraction, -1 below `min_agree`.
+
+    verify_train_seq (exact match, the reference's criterion) drops a
+    locked slot on ANY training-bit error — at low SNR that, not the
+    FEC, becomes the decode floor. In steady state the slot grid is
+    known, so nearest-template classification is sound; acquisition
+    (phy.sync) keeps the reference's exact matching.
+    """
+    y = jnp.asarray((1 - 2 * C.TRAIN_Y.astype(np.int32)).astype(np.float32))
+    nseq = jnp.asarray((1 - 2 * C.TRAIN_N.astype(np.int32)).astype(np.float32))
+    p = jnp.asarray((1 - 2 * C.TRAIN_P.astype(np.int32)).astype(np.float32))
+    x = 1.0 - 2.0 * slots.astype(jnp.float32)
+    w_sync = x[..., C.SYNC_TRAIN_OFFSET:C.SYNC_TRAIN_OFFSET + 38]
+    w_norm = x[..., C.NORM_TRAIN_OFFSET:C.NORM_TRAIN_OFFSET + 22]
+    fr = lambda corr, n: (corr / n + 1.0) * 0.5
+    f_sync = fr(jnp.dot(w_sync, y, preferred_element_type=jnp.float32), 38.0)
+    f_n = fr(jnp.dot(w_norm, nseq, preferred_element_type=jnp.float32), 22.0)
+    f_p = fr(jnp.dot(w_norm, p, preferred_element_type=jnp.float32), 22.0)
+    stacked = jnp.stack([f_sync, f_n, f_p], axis=-1)
+    kind = jnp.argmax(stacked, axis=-1).astype(jnp.int32)
+    best = jnp.max(stacked, axis=-1)
+    return jnp.where(best >= min_agree, kind, -1)
 
 
 def verify_train_seq(slots):
@@ -113,8 +139,34 @@ def locked_step_ri(re, im, inits, phase_bit: int = 0, sps: int = 2,
     at bit `phase_bit` (steady-state lock). Planar input keeps complex64
     off the device transport (some TPU paths don't support it).
     fast=True uses the trig-free hard-decision demod (identical bits to
-    the angle+slicer path on clean/locked signals, no atan2).
+    the angle+slicer path on clean/locked signals, no atan2);
+    fast="slotwise" adds per-slot timing re-pick + blind residual-CFO
+    correction for degraded signals (CFO ramps, sample-clock drift —
+    dqpsk.demodulate_hard_slotwise_ri).
     """
+    if fast in ("slotwise", "soft"):
+        S = n_slots if n_slots is not None else \
+            (re.shape[-1] * 2 // sps - phase_bit) // C.BITS_PER_TS
+        if fast == "soft":
+            # soft reliabilities through the (linear) FEC assembly;
+            # classification/upper layers use the hard slices
+            from tetra_tpu.lmac import fused as fused_mod
+            soft = dqpsk.demodulate_soft_slotwise_ri(re, im, S,
+                                                     phase_bit=phase_bit,
+                                                     sps=sps)
+            hard = (soft <= 0).astype(jnp.int8)
+            kinds = classify_train_seq(hard)
+            out = fused_mod.decode_slots_fused(
+                soft, inits[(...,) + (None,) * (soft.ndim - 1 - inits.ndim)],
+                kinds, soft_input=True)
+            out["bits"] = hard.reshape(*hard.shape[:-2], S * C.BITS_PER_TS)
+            return out
+        slots = dqpsk.demodulate_hard_slotwise_ri(re, im, S,
+                                                  phase_bit=phase_bit,
+                                                  sps=sps)
+        out = locked_step_bits(slots, inits, decoders=decoders)
+        out["bits"] = slots.reshape(*slots.shape[:-2], S * C.BITS_PER_TS)
+        return out
     if fast:
         bits = dqpsk.demodulate_hard_ri(re, im, sps=sps)
     else:

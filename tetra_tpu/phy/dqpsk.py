@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 __all__ = [
     "rrc_taps", "modulate", "demodulate", "float_to_bits", "phase_to_bits",
-    "bits_to_phase",
+    "bits_to_phase", "demodulate_hard_slotwise_ri",
+    "demodulate_soft_slotwise_ri",
 ]
 
 # dibit -> phase step in units of pi/4 (reference float_to_bits.c:50-72,
@@ -31,13 +32,16 @@ _BITS2STEP = {(0, 0): 1, (0, 1): 3, (1, 0): -1, (1, 1): -3}
 
 
 @functools.lru_cache(maxsize=8)
-def rrc_taps(sps: int, ntaps: int = None, alpha: float = 0.35) -> np.ndarray:
+def rrc_taps(sps: int, ntaps: int = None, alpha: float = 0.35,
+             frac_shift: float = 0.0) -> np.ndarray:
     """Root-raised-cosine filter taps (gain-normalised), matching the
     GNU Radio firdes.root_raised_cosine parameterisation used at
-    cqpsk.py:244-249 (11*sps taps, alpha=0.35)."""
+    cqpsk.py:244-249 (11*sps taps, alpha=0.35). frac_shift (in samples)
+    evaluates the taps off-grid — a bandlimited fractional-delay
+    matched filter for sub-sample timing candidates."""
     if ntaps is None:
         ntaps = 11 * sps
-    t = (np.arange(ntaps) - (ntaps - 1) / 2.0) / sps
+    t = (np.arange(ntaps) - (ntaps - 1) / 2.0 + frac_shift) / sps
     taps = np.zeros(ntaps)
     for i, x in enumerate(t):
         if abs(x) < 1e-9:
@@ -220,6 +224,116 @@ def demodulate_hard_ri(re, im, sps: int = 2):
     b1 = (sel_r < 0).astype(jnp.int8)
     bits = jnp.stack([b0, b1], axis=-1)
     return bits.reshape(*bits.shape[:-2], bits.shape[-2] * 2)
+
+
+def _slotwise_phasors(re, im, n_slots: int, phase_bit: int, sps: int):
+    """Degraded-signal hard demodulator: per-SLOT timing + residual-CFO
+    correction (the feed-forward substitute for the reference's
+    Costas + Mueller&Müller tracking loops, cqpsk.py:254-263).
+
+    Per slot (255 symbols):
+    - timing phase re-picked by the |sin 2θ| metric, so sample-clock
+      offset that drifts across a chunk is re-acquired every slot;
+    - residual carrier phase/CFO estimated blind via the quadrupling
+      nonlinearity: for pi/4-DQPSK every differential phasor d[n]
+      satisfies angle(d^4) = pi + 4*eps, so
+      eps = (angle(sum d[n]^4) - pi) / 4 needs no decisions and no
+      pilots; d is de-rotated by eps before slicing. Handles CFO ramps
+      (eps is per-slot) within +-pi/16 per-symbol residual.
+
+    Returns hard bits [C, n_slots, 510] for slots whose first bit is at
+    `phase_bit` (bit indexing as locked_step_ri).
+    """
+    # 4x timing resolution: fractionally-shifted RRC matched filters
+    # provide exact bandlimited interpolation between input samples, so
+    # the worst-case sampling error drops from T/4 to T/16 under
+    # sample-clock drift (a ~0.2 dB ISI penalty instead of ~2 dB)
+    OS = 4
+    tap_bank = [rrc_taps(sps, frac_shift=k / OS) for k in range(OS)]
+
+    def mf(x):
+        fs = [_fir_real(x, tp) for tp in tap_bank]
+        return jnp.stack(fs, axis=-1).reshape(
+            *fs[0].shape[:-1], OS * fs[0].shape[-1])
+
+    fr, fi = mf(re), mf(im)
+    sps2 = OS * sps
+
+    def lag(x):
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(sps2, 0)])[..., :-sps2]
+
+    lr, li = lag(fr), lag(fi)
+    dr = fr * lr + fi * li
+    di = fi * lr - fr * li
+
+    # slot grid in sample space: slot s covers symbols
+    # [phase_bit/2 + 255*s, +255), each symbol spanning sps2 samples
+    sym0 = phase_bit // 2
+    need = (sym0 + n_slots * 255) * sps2
+    dr = dr[..., :need].reshape(*dr.shape[:-1], sym0 + n_slots * 255, sps2)
+    di = di[..., :need].reshape(*di.shape[:-1], sym0 + n_slots * 255, sps2)
+    dr = dr[..., sym0:, :].reshape(*dr.shape[:-2], n_slots, 255, sps2)
+    di = di[..., sym0:, :].reshape(*di.shape[:-2], n_slots, 255, sps2)
+
+    # blind phase per (slot, sample-phase): z = d^4 (planar),
+    # eps = wrap(angle(sum z) - pi) / 4 — estimated BEFORE the timing
+    # pick because the |sin 2θ| timing metric itself decays as cos(2eps)
+    # under CFO
+    r2 = dr * dr - di * di
+    i2 = 2.0 * dr * di
+    zr = r2 * r2 - i2 * i2
+    zi = 2.0 * r2 * i2
+    # normalize per symbol so strong symbols don't dominate
+    m4 = jnp.sqrt(zr * zr + zi * zi) + 1e-12
+    ang = jnp.arctan2(jnp.sum(zi / m4, axis=-2), jnp.sum(zr / m4, axis=-2))
+    e4 = ang - jnp.pi                                       # wrap to (-pi, pi]
+    e4 = jnp.where(e4 <= -jnp.pi, e4 + 2.0 * jnp.pi, e4)
+    eps = e4 / 4.0                                          # [C, S, sps]
+    ce, se = jnp.cos(-eps)[..., None, :], jnp.sin(-eps)[..., None, :]
+    cr = dr * ce - di * se                                  # de-rotated
+    ci = dr * se + di * ce
+
+    # per-slot timing phase on the corrected phasors
+    mag2 = cr * cr + ci * ci
+    score = jnp.mean(2.0 * jnp.abs(cr * ci) / (mag2 + 1e-12), axis=-2)
+    best = jnp.argmax(score, axis=-1).astype(jnp.int32)     # [C, S]
+    sel = lambda x: jnp.take_along_axis(
+        x, best[..., None, None], axis=-1)[..., 0]
+    return sel(cr), sel(ci)                                 # [C, S, 255] each
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "n_slots", "phase_bit"))
+def demodulate_hard_slotwise_ri(re, im, n_slots: int, phase_bit: int = 0,
+                                sps: int = 2):
+    rr, ri = _slotwise_phasors(re, im, n_slots, phase_bit, sps)
+    b0 = (ri <= 0).astype(jnp.int8)
+    b1 = (rr < 0).astype(jnp.int8)
+    bits = jnp.stack([b0, b1], axis=-1)
+    return bits.reshape(*bits.shape[:-3], n_slots, 510)
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "n_slots", "phase_bit"))
+def demodulate_soft_slotwise_ri(re, im, n_slots: int, phase_bit: int = 0,
+                                sps: int = 2):
+    """Soft-decision slotwise demod: per-bit reliabilities instead of
+    hard slices (positive = bit 0, the pipeline's +127 convention;
+    magnitude ~1 on clean symbols, clipped at 4).
+
+    The reference chain is hard-decision by construction
+    (float_to_bits.c thresholds); keeping the demodulator's amplitude
+    information through the (linear) descramble + deinterleave +
+    depuncture into the Viterbi buys ~2 dB — an enhancement mode, used
+    by locked_step_ri(fast="soft").
+    """
+    rr, ri = _slotwise_phasors(re, im, n_slots, phase_bit, sps)
+    # per-slot amplitude normalisation (Viterbi metrics are per-block
+    # scale-invariant, but clipping must bite at a consistent level)
+    nrm = jnp.mean(jnp.sqrt(rr * rr + ri * ri), axis=-1, keepdims=True) + 1e-9
+    # hard rule: b0 = (ri <= 0), b1 = (rr < 0); positive soft = bit 0
+    s0 = jnp.clip(ri / nrm, -4.0, 4.0)
+    s1 = jnp.clip(rr / nrm, -4.0, 4.0)
+    soft = jnp.stack([s0, s1], axis=-1)
+    return soft.reshape(*soft.shape[:-3], n_slots, 510)
 
 
 @jax.jit
