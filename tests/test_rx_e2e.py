@@ -183,6 +183,58 @@ class TestVoiceDecode:
         expect = np.asarray(acelp.type2_to_codec(jnp.asarray(line[None])))[0]
         np.testing.assert_array_equal(codec, expect)
 
+    def test_voice_cli_end_to_end(self, tmp_path):
+        """Full CLI run (`tetra-rx -d DUMP --voice capture.bits`):
+        traffic slots produce both the patched-ETSI-cdecoder stream
+        (traffic_*.out, int16 sync markers + soft bits — the format
+        tetra_lower_mac.c:198-241 dumps for etsi_codec-patches/) and
+        packed ACELP codec frames (voice_*.cod)."""
+        from tetra_tpu.ops import acelp
+        from tetra_tpu import rx as rx_mod
+        rng = np.random.default_rng(17)
+        c0 = rng.integers(0, 2, 102).astype(np.int8)
+        c1 = rng.integers(0, 2, 108).astype(np.int8)
+        c2v = rng.integers(0, 2, 64).astype(np.int8)
+        t3 = np.asarray(acelp.tch_s_encode(jnp.asarray(c0[None]),
+                                           jnp.asarray(c1[None]),
+                                           jnp.asarray(c2v[None])))[0]
+        from tetra_tpu.ops.scramble import scramb_bits
+        t5 = np.asarray(scramb_bits(jnp.uint32(INIT), jnp.asarray(t3)))
+        sync = testpdu.make_sync_pdu(cc=CC, tn=1, fn=1, mn=1, mcc=MCC, mnc=MNC)
+        aach_traffic = testpdu.make_access_assign_bits(hdr=3, f1=5, f2=0)
+        bb_t5 = np.asarray(tx.encode_bbk(jnp.asarray(aach_traffic),
+                                         jnp.uint32(INIT)))
+        from tetra_tpu.phy.burst import build_norm_c_d_burst
+        stream = [np.zeros(77, np.uint8),
+                  tx.make_sync_burst(sync, testpdu.make_sysinfo_pdu(),
+                                     testpdu.make_access_assign_bits(),
+                                     jnp.uint32(INIT)),
+                  tx.make_sync_burst(sync, testpdu.make_sysinfo_pdu(),
+                                     testpdu.make_access_assign_bits(),
+                                     jnp.uint32(INIT)),
+                  build_norm_c_d_burst(t5[:216], bb_t5, t5[216:], False)]
+        cap = tmp_path / "cap.bits"
+        np.concatenate([np.asarray(s, np.uint8) for s in stream]).tofile(cap)
+
+        import contextlib, io
+        with contextlib.redirect_stdout(io.StringIO()):
+            rx_mod.main(["-d", str(tmp_path), "--voice", str(cap)])
+
+        # ETSI-cdecoder stream: int16, 6 markers 0x6B21+i per slot
+        outs = list(tmp_path.glob("traffic_5_*.out"))
+        assert len(outs) == 1
+        blk = np.frombuffer(outs[0].read_bytes(), np.int16)
+        assert len(blk) == 690
+        for i in range(6):
+            assert blk[115 * i] == 0x6B21 + i
+        # packed codec frames round-trip to the transmitted classes
+        cods = list(tmp_path.glob("voice_5_*.cod"))
+        assert len(cods) == 1
+        codec = np.unpackbits(np.frombuffer(cods[0].read_bytes(), np.uint8))[:274]
+        expect = np.asarray(acelp.type2_to_codec(
+            jnp.asarray(np.concatenate([c0, c1, c2v])[None])))[0]
+        np.testing.assert_array_equal(codec, expect)
+
 
 class TestLlcAdvancedLink:
     def test_al_defrag_to_mle_and_ip(self):

@@ -432,11 +432,15 @@ def main(argv=None):
     p.add_argument("-f", dest="fmt", default="auto",
                    choices=("auto", "bits", "float", "iq"),
                    help="capture format (default: infer from extension)")
+    p.add_argument("--voice", action="store_true",
+                   help="run the TCH/S speech FEC chain and write packed "
+                        "ACELP codec frames (.cod) next to the traffic "
+                        "dumps (needs -d)")
     p.add_argument("capture", help=".bits (1 byte/bit), .fl (float symbols) "
                                    "or .cfile (complex IQ)")
     args = p.parse_args(argv)
     rx = TetraReceiver(keystore_path=args.keystore, dumpdir=args.dumpdir,
-                       gsmtap_host=args.gsmtap)
+                       gsmtap_host=args.gsmtap, decode_voice=args.voice)
     from tetra_tpu.io.inputs import load_capture, capture_to_bits
     kind, data = load_capture(args.capture, args.fmt)
     stats = rx.process_bits(capture_to_bits(kind, data))
