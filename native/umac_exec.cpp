@@ -38,6 +38,8 @@ enum EvKind {
     EV_STRANGE_LCHAN = 14, // a=lchan
     EV_MISS = 15,        // a=last_ss b=ss
     EV_TMSDU_RUNT = 16,  // a=length
+    EV_TRAFFIC = 17,     // a=slot_ref b=1 when NDB half-slot c=usage
+    EV_CRC = 18,         // a=block (0 SB1/1 SB2/2 SCHF/3 NDB) b=crc_ok
 };
 
 // logical channels (tetra_tpu/umac/upper_mac.py LogicalChannel)
@@ -198,6 +200,7 @@ struct Carrier {
     Frag frags[NR_FRAGSLOTS];
     Defrag defrag[256];
     int is_traffic = 0;
+    bool blk1_stolen = false, blk2_stolen = false;
 };
 
 struct Ctx {
@@ -402,6 +405,8 @@ void rx_aach(Ctx &cx, Carrier &car, const Bits &b, int fn) {
     }
     cx.emit(EV_AACH, hdr, dl, ul, ((int64_t)a1 << 8) | a2);
     car.is_traffic = dl > 3 ? dl : 0;
+    car.blk1_stolen = false;
+    car.blk2_stolen = false;
 }
 
 int rx_resrc(Ctx &cx, Carrier &car, const Bits &in) {
@@ -409,7 +414,10 @@ int rx_resrc(Ctx &cx, Carrier &car, const Bits &in) {
     ResourceHdr r = decode_resource(b);
     int64_t tmpdu = r.bit_len;
     int64_t pdu_bits;
-    if (r.macpdu_length == LEN_2ND_STOLEN) pdu_bits = -1;
+    if (r.macpdu_length == LEN_2ND_STOLEN) {
+        pdu_bits = -1;
+        car.blk2_stolen = true;
+    }
     else if (r.macpdu_length == LEN_START_FRAG) pdu_bits = -1;
     else {
         pdu_bits = (int64_t)r.macpdu_length * 8;
@@ -499,6 +507,44 @@ int rx_suppl(Ctx &cx, Carrier &car, const Bits &b) {
     return -1;
 }
 
+// the multi-PDU slot loop over one type-1 block (upper_mac.py rx_slot)
+void process_block(Ctx &cx, Carrier &car, const Bits &all, int lchan,
+                   int crc_ok, int fn) {
+    int64_t total = all.n, offset = 0;
+    while (true) {
+        Bits b = all.slice(offset, total);
+        int pdu_type = b.n >= 2 ? (int)b.u(0, 2) : 0;
+        cx.emit(EV_TMV, lchan, crc_ok, pdu_type);
+        int64_t pdu_bits = -1;
+        if (crc_ok) {
+            if (fn == 18) age_fragslots(cx, car);
+            if (lchan == LCH_AACH) rx_aach(cx, car, b, fn);
+            else if (lchan == LCH_BSCH) { /* SYNC handled above MAC */ }
+            else if (lchan == LCH_BNCH || lchan == LCH_UNKNOWN ||
+                     lchan == LCH_SCH_F || lchan == LCH_SCH_HD) {
+                if (pdu_type == MACPDU_BCAST) pdu_bits = rx_bcast(cx, b);
+                else if (pdu_type == MACPDU_RESOURCE)
+                    pdu_bits = rx_resrc(cx, car, b);
+                else if (pdu_type == MACPDU_SUPPL)
+                    pdu_bits = rx_suppl(cx, car, b);
+                else if (pdu_type == MACPDU_FRAG_END) {
+                    if (b.bit(2) == 0)
+                        pdu_bits = rx_macfrag(cx, car, b, cx.cur_slot_tn);
+                    else
+                        pdu_bits = rx_macend(cx, car, b, cx.cur_slot_tn);
+                } else {
+                    cx.emit(EV_STRANGE_PDU, pdu_type);
+                }
+            } else {
+                cx.emit(EV_STRANGE_LCHAN, lchan);
+            }
+        }
+        if (pdu_bits <= 0) break;
+        offset += pdu_bits;
+        if (offset >= total - 16) break;
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -534,41 +580,81 @@ int64_t tetra_umac_process(void *p, const uint8_t *bits,
         cx.cur_carrier = carrier;
         cx.cur_slot_tn = tn >= 0 && tn < NR_FRAGSLOTS ? tn : 0;
         Bits all{bits + r[7], r[8]};
+        process_block(cx, car, all, lchan, crc_ok, fn);
+    }
+    if (overflow) *overflow = (int32_t)cx.overflow;
+    return cx.ev_n;
+}
 
-        // multi-PDU slot loop (upper_mac.py rx_slot do-while)
-        int64_t total = all.n, offset = 0;
-        while (true) {
-            Bits b = all.slice(offset, total);
-            int pdu_type = b.n >= 2 ? (int)b.u(0, 2) : 0;
-            cx.emit(EV_TMV, lchan, crc_ok, pdu_type);
-            int64_t pdu_bits = -1;
-            if (!crc_ok) { /* consumed */ }
-            else {
-                if (fn == 18) age_fragslots(cx, car);
-                if (lchan == LCH_AACH) rx_aach(cx, car, b, fn);
-                else if (lchan == LCH_BSCH) { /* SYNC handled above MAC */ }
-                else if (lchan == LCH_BNCH || lchan == LCH_UNKNOWN ||
-                         lchan == LCH_SCH_F || lchan == LCH_SCH_HD) {
-                    if (pdu_type == MACPDU_BCAST) pdu_bits = rx_bcast(cx, b);
-                    else if (pdu_type == MACPDU_RESOURCE)
-                        pdu_bits = rx_resrc(cx, car, b);
-                    else if (pdu_type == MACPDU_SUPPL)
-                        pdu_bits = rx_suppl(cx, car, b);
-                    else if (pdu_type == MACPDU_FRAG_END) {
-                        if (b.bit(2) == 0)
-                            pdu_bits = rx_macfrag(cx, car, b, cx.cur_slot_tn);
-                        else
-                            pdu_bits = rx_macend(cx, car, b, cx.cur_slot_tn);
-                    } else {
-                        cx.emit(EV_STRANGE_PDU, pdu_type);
-                    }
-                } else {
-                    cx.emit(EV_STRANGE_LCHAN, lchan);
-                }
+// Whole-slot walk: the per-slot upper-MAC dispatch of rx.py::_walk_slot
+// (tp_sap_udata_ind block routing incl. BNCH prediction, traffic
+// gating and slot stealing, tetra_lower_mac.c:115-127/178-241).
+//
+// recs: n x 14 int32 = carrier, kind (0 SYNC/1 SCHF/2 NDB), tn, fn,
+// mn, okA, okB, offA, lenA, offBBK, lenBBK, offB, lenB, slot_ref.
+// Per slot: kind SYNC dispatches blkA=SB1 (BSCH), BBK (AACH),
+// blkB=SB2 (BNCH when fn==18 && tn==4-((mn+3)%4) else UNKNOWN);
+// SCHF dispatches BBK then either a traffic event or SCH/F; NDB
+// dispatches BBK then NDB1/NDB2 with the stealing rules. Traffic
+// payloads are the caller's to dump (EV_TRAFFIC carries slot_ref).
+int64_t tetra_umac_walk(void *p, const uint8_t *bits,
+                        const int32_t *recs, int64_t n_recs,
+                        int32_t *ev_car, int32_t *ev_kind,
+                        int64_t *ev_a, int64_t *ev_b, int64_t *ev_c,
+                        int64_t *ev_d, int64_t max_events,
+                        int32_t *overflow) {
+    Ctx &cx = *(Ctx *)p;
+    cx.ev_car = ev_car; cx.ev_kind = ev_kind;
+    cx.ev_a = ev_a; cx.ev_b = ev_b; cx.ev_c = ev_c; cx.ev_d = ev_d;
+    cx.ev_max = max_events; cx.ev_n = 0; cx.overflow = 0;
+
+    for (int64_t i = 0; i < n_recs; i++) {
+        const int32_t *r = recs + 14 * i;
+        int carrier = r[0], kind = r[1], tn = r[2], fn = r[3], mn = r[4];
+        int okA = r[5], okB = r[6];
+        if (carrier < 0 || carrier >= (int)cx.carriers.size()) continue;
+        Carrier &car = cx.carriers[carrier];
+        cx.cur_carrier = carrier;
+        cx.cur_slot_tn = tn >= 0 && tn < NR_FRAGSLOTS ? tn : 0;
+        Bits blkA{bits + r[7], r[8]};
+        Bits bbk{bits + r[9], r[10]};
+        Bits blkB{bits + r[11], r[12]};
+        int slot_ref = r[13];
+
+        if (kind == 0) {  // SYNC: SB1 -> BSCH, BBK -> AACH, SB2
+            cx.emit(EV_CRC, 0, okA);
+            process_block(cx, car, blkA, LCH_BSCH, okA, fn);
+            process_block(cx, car, bbk, LCH_AACH, 1, fn);
+            int lchan = (fn == 18 && tn == 4 - ((mn + 3) % 4))
+                ? LCH_BNCH : LCH_UNKNOWN;
+            cx.emit(EV_CRC, 1, okB);
+            process_block(cx, car, blkB, lchan, okB, fn);
+        } else if (kind == 1) {  // SCH/F
+            process_block(cx, car, bbk, LCH_AACH, 1, fn);
+            if (car.is_traffic) {
+                cx.emit(EV_TRAFFIC, slot_ref, 0, car.is_traffic);
+            } else {
+                cx.emit(EV_CRC, 2, okA);
+                process_block(cx, car, blkA, LCH_SCH_F, okA, fn);
             }
-            if (pdu_bits <= 0) break;
-            offset += pdu_bits;
-            if (offset >= total - 16) break;
+        } else {  // NDB
+            process_block(cx, car, bbk, LCH_AACH, 1, fn);
+            if (car.is_traffic) {
+                car.blk1_stolen = true;
+                cx.emit(EV_CRC, 3, okA);
+                process_block(cx, car, blkA, LCH_UNKNOWN, okA, fn);
+                if (car.blk2_stolen) {
+                    cx.emit(EV_CRC, 3, okB);
+                    process_block(cx, car, blkB, LCH_UNKNOWN, okB, fn);
+                } else {
+                    cx.emit(EV_TRAFFIC, slot_ref, 1, car.is_traffic);
+                }
+            } else {
+                cx.emit(EV_CRC, 3, okA);
+                process_block(cx, car, blkA, LCH_UNKNOWN, okA, fn);
+                cx.emit(EV_CRC, 3, okB);
+                process_block(cx, car, blkB, LCH_UNKNOWN, okB, fn);
+            }
         }
     }
     if (overflow) *overflow = (int32_t)cx.overflow;

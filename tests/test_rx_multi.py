@@ -110,3 +110,107 @@ class TestMultiVsSingle:
             assert rx.stats == stats_multi[c], f"carrier {c} stats diverged"
             assert (len(rx.umac.events)
                     == len(mrx.carriers[c].umac.events)), c
+
+
+class TestNativeControlPlane:
+    def test_native_matches_python_plane(self):
+        """control_plane="native" must produce identical stats, TDMA
+        time, scrambling state and traffic dumps to the Python plane,
+        and its RESOURCE events must carry the same SSIs."""
+        import pytest
+        from tetra_tpu.umac import native_exec
+        if not native_exec.available():
+            pytest.skip("native library unavailable")
+        import tempfile
+        from tetra_tpu.umac.native_exec import EV
+
+        bits_a = _capture_bits(262, 42, 1, 0x200, seed=1)
+        bits_b = _capture_bits(901, 7, 5, 0x300, seed=2)
+        n = min(len(bits_a), len(bits_b)) & ~1
+        bits = np.stack([bits_a[:n], bits_b[:n]])
+        offsets = np.array([-25_000.0, 25_000.0], np.float32)
+
+        with tempfile.TemporaryDirectory() as d_py, \
+                tempfile.TemporaryDirectory() as d_nat:
+            mrx_py = MultiCarrierReceiver(offsets, fs=144_000.0,
+                                          dumpdir=d_py)
+            mrx_nat = MultiCarrierReceiver(offsets, fs=144_000.0,
+                                           dumpdir=d_nat,
+                                           control_plane="native")
+            # feed hard bits in two chunks to exercise carried state
+            half = (bits.shape[1] // 2) & ~511
+            for mrx in (mrx_py, mrx_nat):
+                mrx.process_bits(bits[:, :half])
+                mrx.process_bits(bits[:, half:])
+
+            for c in range(2):
+                py, nat = mrx_py.carriers[c], mrx_nat.carriers[c]
+                assert (py.stats.bursts, py.stats.crc_ok,
+                        py.stats.crc_wrong) == \
+                    (nat.stats.bursts, nat.stats.crc_ok,
+                     nat.stats.crc_wrong), c
+                assert (py.time.tn, py.time.fn, py.time.mn) == \
+                    (nat.time.tn, nat.time.fn, nat.time.mn), c
+                assert py.scramb_init == nat.scramb_init
+                assert (py.mcc, py.mnc) == (nat.mcc, nat.mnc)
+
+            # RESOURCE SSIs per carrier from the native event stream
+            got = {0: [], 1: []}
+            for evd in mrx_nat.native_events:
+                for i in range(len(evd["kind"])):
+                    if (evd["kind"][i] == EV.RESOURCE
+                            and evd["a"][i] == 1):  # addr type SSI
+                        got[int(evd["carrier"][i])].append(int(evd["b"][i]))
+            for c, base in ((0, 0x200), (1, 0x300)):
+                want = [e[1].addr.ssi for e in
+                        mrx_py.carriers[c].umac.events
+                        if e[0] == "RESOURCE" and e[1].addr.type == 1]
+                assert got[c] == want, c
+
+    def test_native_traffic_dumps_match(self, tmp_path):
+        """Traffic slots route to identical dump files in both planes."""
+        import pytest
+        from tetra_tpu.umac import native_exec
+        if not native_exec.available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(9)
+        init = scramb_get_init(262, 42, 1)
+        sync = testpdu.make_sync_pdu(cc=1, mcc=262, mnc=42)
+        aach_t = testpdu.make_access_assign_bits(hdr=3, f1=5, f2=0)
+        voice_t5 = rng.integers(0, 2, 432).astype(np.int8)
+        from tetra_tpu.phy.burst import build_norm_c_d_burst
+        bb_t5 = np.asarray(tx.encode_bbk(jnp.asarray(aach_t),
+                                         jnp.uint32(init)))
+        stream = np.concatenate([
+            np.zeros(63, np.uint8),
+            np.asarray(tx.make_sync_burst(sync, testpdu.make_sysinfo_pdu(),
+                                          testpdu.make_access_assign_bits(),
+                                          jnp.uint32(init)), np.uint8),
+            np.asarray(tx.make_sync_burst(sync, testpdu.make_sysinfo_pdu(),
+                                          testpdu.make_access_assign_bits(),
+                                          jnp.uint32(init)), np.uint8),
+            np.asarray(build_norm_c_d_burst(
+                np.asarray(scrambled(voice_t5, init))[:216], bb_t5,
+                np.asarray(scrambled(voice_t5, init))[216:], False),
+                np.uint8),
+            # trailing lookahead so the synchroniser emits the last slot
+            np.zeros(640, np.uint8)])
+        bits = np.stack([stream, stream])
+        offsets = np.array([-25_000.0, 25_000.0], np.float32)
+        d_py, d_nat = tmp_path / "py", tmp_path / "nat"
+        d_py.mkdir(); d_nat.mkdir()
+        MultiCarrierReceiver(offsets, fs=144_000.0, dumpdir=str(d_py)
+                             ).process_bits(bits)
+        MultiCarrierReceiver(offsets, fs=144_000.0, dumpdir=str(d_nat),
+                             control_plane="native").process_bits(bits)
+        for c in range(2):
+            py_fs = sorted((d_py / f"carrier{c}").glob("traffic_*.out"))
+            nat_fs = sorted((d_nat / f"carrier{c}").glob("traffic_*.out"))
+            assert len(py_fs) == 1 and len(nat_fs) == 1, c
+            assert py_fs[0].name == nat_fs[0].name, c
+            assert py_fs[0].read_bytes() == nat_fs[0].read_bytes(), c
+
+
+def scrambled(t3, init):
+    from tetra_tpu.ops.scramble import scramb_bits
+    return scramb_bits(jnp.uint32(init), jnp.asarray(t3))

@@ -179,6 +179,8 @@ class TetraReceiver:
                              gsmtap_cb=self._gsmtap_cb if self.gsmtap else None,
                              log=log)
         self.dumpdir = dumpdir
+        if dumpdir:
+            os.makedirs(dumpdir, exist_ok=True)
         self.decode_voice = decode_voice
         self.time = TdmaTime()
         self.scramb_init = 0         # cell scrambling code (tetra_cell_data)
@@ -272,7 +274,8 @@ class TetraReceiver:
                 self.tcs.update_current_network(self.mcc, self.mnc)
         return ok
 
-    def _dump_traffic(self, type4: np.ndarray):
+    def _dump_traffic(self, type4: np.ndarray, usage: int | None = None,
+                      tsn: int | None = None, ssi: int | None = None):
         """Traffic burst dump (reference tetra_lower_mac.c:198-241)."""
         if not self.dumpdir:
             return
@@ -283,13 +286,17 @@ class TetraReceiver:
         for dst, src, n in spans:
             seg = type4[src:src + n]
             block[dst:dst + n] = np.where(seg != 0, -127, 127).astype(np.int16)
-        usage = self.umac.cur_burst_is_traffic
-        tsn = self.time.tn - 1
+        if usage is None:
+            usage = self.umac.cur_burst_is_traffic
+        if tsn is None:
+            tsn = self.time.tn - 1
+        if ssi is None:
+            ssi = self.umac.ssi
         path = os.path.join(self.dumpdir, f"traffic_{usage}_{tsn}.out")
         with open(path, "ab") as f:
             f.write(block.tobytes())
         with open(os.path.join(self.dumpdir, f"traffic_{usage}_{tsn}.txt"), "a") as f:
-            f.write(f"{self.umac.ssi}\n")
+            f.write(f"{ssi}\n")
         if self.decode_voice:
             self._decode_voice_slot(type4, usage, tsn)
 

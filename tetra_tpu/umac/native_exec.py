@@ -47,12 +47,15 @@ class EV:
     STRANGE_LCHAN = 14
     MISS = 15
     TMSDU_RUNT = 16
+    TRAFFIC = 17
+    CRC = 18
 
     NAMES = {0: "TMV", 1: "AACH", 2: "SYSINFO", 3: "RESOURCE",
              4: "FRAG_START", 5: "FRAG_CONT", 6: "FRAG_END",
              7: "FRAG_AGEOUT", 8: "FRAG_NOSTART", 9: "FRAG_ACTIVE",
              10: "SUPPL", 11: "TMSDU", 12: "TLSDU", 13: "STRANGE_PDU",
-             14: "STRANGE_LCHAN", 15: "MISS", 16: "TMSDU_RUNT"}
+             14: "STRANGE_LCHAN", 15: "MISS", 16: "TMSDU_RUNT",
+             17: "TRAFFIC", 18: "CRC"}
 
 
 def _load():
@@ -84,6 +87,8 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
     lib.tetra_umac_process.restype = ctypes.c_int64
+    lib.tetra_umac_walk.argtypes = lib.tetra_umac_process.argtypes
+    lib.tetra_umac_walk.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -124,8 +129,21 @@ class NativeControlPlane:
         """bits: concatenated unpacked type-1 bits (uint8, 1 byte/bit);
         recs: [n, 9] int32 records (see SlotRec). Returns a structured
         dict of event arrays {carrier, kind, a, b, c, d} of length m."""
+        return self._run("tetra_umac_process", bits, recs, 9,
+                         events_per_rec)
+
+    def walk(self, bits: np.ndarray, recs, events_per_rec: int = 32):
+        """Whole-slot walk (rx.py::_walk_slot semantics in C++): recs
+        [n, 14] int32 = carrier, kind (0 SYNC/1 SCHF/2 NDB), tn, fn, mn,
+        okA, okB, offA, lenA, offBBK, lenBBK, offB, lenB, slot_ref.
+        Traffic slots emit EV.TRAFFIC(slot_ref, ndb_flag, usage) for the
+        caller to dump; FEC blocks emit EV.CRC for stats."""
+        return self._run("tetra_umac_walk", bits, recs, 14, events_per_rec)
+
+    def _run(self, fn_name, bits, recs, rec_width, events_per_rec):
         bits = np.ascontiguousarray(bits, dtype=np.uint8)
-        recs = np.ascontiguousarray(recs, dtype=np.int32).reshape(-1, 9)
+        recs = np.ascontiguousarray(recs, dtype=np.int32).reshape(
+            -1, rec_width)
         n = len(recs)
         cap = n * events_per_rec + 1024
         car = np.empty(cap, np.int32)
@@ -138,7 +156,7 @@ class NativeControlPlane:
         p8 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         p32 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         p64 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
-        m = self._lib.tetra_umac_process(
+        m = getattr(self._lib, fn_name)(
             self._ctx, p8(bits), p32(recs), n,
             p32(car), p32(kind), p64(a), p64(b), p64(c), p64(d),
             cap, ctypes.byref(ovf))
