@@ -10,6 +10,14 @@ Usage:
   python -m tetra_tpu.receiver --udp 42001 [--fmt iq]
   python -m tetra_tpu.receiver --file capture.cfile
   python -m tetra_tpu.receiver --file capture.bits -d DUMPDIR -k KEYSTORE
+  python -m tetra_tpu.receiver --rtltcp sdr-host --freq 392.5e6 \
+      --carriers auto          # live hardware, every carrier in the span
+
+The --rtltcp mode is the osmosdr/fcdp live-demod analogue (reference
+src/demod/osmosdr-tetra_demod_fft.py): I/Q comes from any rtl-sdr via
+the stock rtl_tcp daemon, carriers are found by measurement instead of
+GUI clicks (tetra_tpu.scan), and ALL of them decode from the one
+wideband stream.
 """
 from __future__ import annotations
 
@@ -48,6 +56,52 @@ def run_udp(rx: TetraReceiver, port: int, fmt: str, sps: int,
         src.close()
 
 
+def run_rtltcp(args):
+    """Live multi-carrier receive from an rtl_tcp server: scan (or take
+    explicit offsets), then stream chunks through the batched wideband
+    chain until interrupted or --secs elapses."""
+    from tetra_tpu.io.sdr import RtlTcpSource, RTL_TCP_PORT
+    from tetra_tpu.rx_multi import MultiCarrierReceiver
+
+    host, _, port = args.rtltcp.partition(":")
+    src = RtlTcpSource(host, int(port) if port else RTL_TCP_PORT)
+    print(f"rtl_tcp: tuner {src.tuner_name}", file=sys.stderr)
+    src.configure(freq_hz=args.freq or 0.0, rate_hz=args.rate,
+                  gain_db=args.gain, ppm=args.ppm)
+    fs = args.rate
+
+    if args.carriers == "auto":
+        from tetra_tpu import scan as scanner
+        iq0 = src.read(int(fs))  # 1 s scan capture
+        results, _ = scanner.scan(iq0, fs, confirm=True)
+        offsets = [r["offset_hz"] for r in results if r["confirmed"]]
+        print(f"scan: {len(offsets)} confirmed carrier(s) at "
+              f"{[f'{o / 1e3:+.0f}k' for o in offsets]}", file=sys.stderr)
+        if not offsets:
+            src.close()
+            return []
+    else:
+        offsets = [float(x) for x in args.carriers.split(",")]
+
+    mrx = MultiCarrierReceiver(np.asarray(offsets, np.float32), fs=fs,
+                               keystore_path=args.keystore,
+                               dumpdir=args.dumpdir)
+    chunk = int(fs // 2)  # ~0.5 s per device dispatch
+    total = int(args.secs * fs) if args.secs else None
+    stats = [rx.stats for rx in mrx.carriers]
+    try:
+        for iq in src.stream(chunk=chunk, total_samples=total):
+            stats = mrx.process_iq(iq)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        src.close()
+    for off, s in zip(offsets, stats):
+        print(f"{off / 1e3:+9.1f} kHz: {s.bursts} bursts, "
+              f"CRC ok/wrong = {s.crc_ok}/{s.crc_wrong}", file=sys.stderr)
+    return mrx
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -55,12 +109,25 @@ def main(argv=None):
     g.add_argument("--udp", type=int, nargs="?", const=TELIVE_PORT,
                    help=f"listen for samples on UDP port (default {TELIVE_PORT})")
     g.add_argument("--file", help="capture file (.bits/.fl/.cfile)")
+    g.add_argument("--rtltcp", help="rtl_tcp server host[:port] (live SDR)")
     p.add_argument("--fmt", default="auto", choices=("auto", "bits", "float", "iq"))
     p.add_argument("--sps", type=int, default=2, help="samples per symbol for IQ")
+    p.add_argument("--freq", type=float, help="tuner centre frequency (Hz)")
+    p.add_argument("--rate", type=float, default=1.8e6,
+                   help="tuner sample rate (Hz)")
+    p.add_argument("--gain", type=float, help="tuner gain dB (default AGC)")
+    p.add_argument("--ppm", type=int, default=0)
+    p.add_argument("--carriers", default="auto",
+                   help="'auto' (scan) or comma list of offsets in Hz")
+    p.add_argument("--secs", type=float, default=0.0,
+                   help="stop after this many seconds (0 = until ^C)")
     p.add_argument("-d", dest="dumpdir")
     p.add_argument("-k", dest="keystore")
     p.add_argument("-g", dest="gsmtap", nargs="?", const="localhost")
     args = p.parse_args(argv)
+
+    if args.rtltcp:
+        return run_rtltcp(args)
 
     rx = TetraReceiver(keystore_path=args.keystore, dumpdir=args.dumpdir,
                        gsmtap_host=args.gsmtap)
