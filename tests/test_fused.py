@@ -78,8 +78,10 @@ class TestSegmentedViterbi:
         self._check(rng, [(80, 144, 64), (288,), (144, 144),
                           (80, 64, 80, 64), (288,), (80, 144, 64)])
 
-    def test_radix4_matches_radix2(self):
-        """Radix-4 double-step ACS/traceback == radix-2, incl. ties."""
+    def test_radix4_radix16_match_radix2(self):
+        """Radix-4/-16 fused-step ACS/traceback == radix-2, incl. ties
+        (the quantised +-127/0 alphabet makes tied path metrics common,
+        so this exercises the composed tie-break ordering)."""
         rng = np.random.default_rng(9)
         soft = jnp.asarray((rng.integers(-1, 2, size=(16, fused.N_MOTHER))
                             * 127).astype(np.float32))
@@ -88,10 +90,11 @@ class TestSegmentedViterbi:
         r2 = np.asarray(decode_segmented_pallas(
             soft, rmask, fused.N_SYM, fused.BOUNDARIES, tile_b=8,
             interpret=True, radix=2))
-        r4 = np.asarray(decode_segmented_pallas(
-            soft, rmask, fused.N_SYM, fused.BOUNDARIES, tile_b=8,
-            interpret=True, radix=4))
-        np.testing.assert_array_equal(r4, r2)
+        for radix in (4, 16):
+            rk = np.asarray(decode_segmented_pallas(
+                soft, rmask, fused.N_SYM, fused.BOUNDARIES, tile_b=8,
+                interpret=True, radix=radix))
+            np.testing.assert_array_equal(rk, r2)
 
     def test_clean_roundtrip_segments(self):
         rng = np.random.default_rng(8)

@@ -149,6 +149,124 @@ def _tables4(generators):
     return sgn4, psel4, tb4T, sbits0, sbits1
 
 
+@functools.lru_cache(maxsize=4)
+def _tables16(generators):
+    """Radix-16 tables: FOUR trellis steps fused per ACS iteration.
+
+    Over 4 steps every predecessor p in 0..15 reaches every next state
+    ns (the 4 input bits = the 4 LSBs of ns, p's bits all shift out), so
+    the candidate paths into ns are indexed directly by p — and the
+    path-metric selection that radix-2/4 express as a one-hot matmul
+    degenerates into a plain broadcast: c[p*16+ns] = m[p] + bm[p*16+ns].
+    No selection matmul, no f32-HIGHEST pass.
+
+    Tie-breaking: the sequential radix-2 chain resolves every merge
+    toward decision 0 (c1 > c0 strict), which composes to "the
+    lexicographically smallest decision string wins, latest decision
+    most significant". With decisions d1..d4 (d4 latest), the composed
+    index is j = d4*8 + d3*4 + d2*2 + d1 and p = bitrev4(j) — so the
+    kernel ranks tied candidates by rev4(p) and stores j; traceback
+    recovers prev = rev4(j) with an iota compare.
+
+    sgn16 [256, 4N]: row p*16+ns = concat of the 4 per-step sign
+                     vectors along the path p -> ns.
+    rank  [16]:      rev4(p), the tie-break key per candidate row.
+    """
+    signs = trellis_signs(generators)
+    n = signs.shape[-1]
+    rev4 = [int(f"{p:04b}"[::-1], 2) for p in range(16)]
+    sgn16 = np.zeros((256, 4 * n), np.float32)
+    for p in range(16):
+        for ns in range(16):
+            s = p
+            for step in range(4):
+                b = (ns >> (3 - step)) & 1
+                sgn16[p * 16 + ns, step * n:(step + 1) * n] = signs[s, b]
+                s = ((s << 1) | b) & 0xF
+    rank = np.asarray(rev4, np.float32)
+    return sgn16, rank
+
+
+def _make_segmented_kernel16(n_sym: int, n_out: int, tile_b: int,
+                             boundaries: tuple):
+    """Radix-16 variant of _make_segmented_kernel4: quarters the serial
+    ACS/traceback lengths AND removes the metric-selection matmul and
+    the traceback matmul entirely (see _tables16). soft input
+    pre-reshaped to [n_sym/4, 4N, tile]."""
+    assert n_sym % 4 == 0 and all(b % 4 == 0 for b in boundaries)
+    segs = tuple(s // 4 for s in (0,) + tuple(boundaries) + (n_sym,))
+    nb = len(boundaries)
+
+    def kernel(soft_ref, sgn_ref, rm_ref, bits_ref, dec_ref,
+               metric_ref, bstate_ref):
+        sgn = sgn_ref[:]            # [256, 4N]
+        row = jax.lax.broadcasted_iota(jnp.int32, (16, tile_b), 0)
+        init = jnp.where(row == 0, 0.0, _NEG)
+        metric_ref[:] = init
+        # tie-break rank per candidate row: rev4(p), from a 3-D iota
+        p3 = jax.lax.broadcasted_iota(jnp.int32, (16, 16, tile_b), 0)
+        rank3 = (((p3 & 1) << 3) | ((p3 & 2) << 1)
+                 | ((p3 & 4) >> 1) | ((p3 & 8) >> 3)).astype(jnp.float32)
+
+        def acs_step(t, _):
+            sym4 = soft_ref[pl.ds(t, 1)][0]                     # [4N, tile]
+            bm = jnp.dot(sgn, sym4, preferred_element_type=jnp.float32)
+            m = metric_ref[:]                                   # [16, tile]
+            # candidate p contributes m[p] to all 16 of its rows
+            c = (bm.reshape(16, 16, tile_b) + m[:, None, :])    # [p, ns, t]
+            best = jnp.max(c, axis=0)                           # [16, tile]
+            # lowest composed-decision-index j = rev4(p) wins ties
+            jcand = jnp.where(c == best[None], rank3, 16.0)
+            jwin = jnp.min(jcand, axis=0)                       # [16, tile]
+            dec_ref[pl.ds(t, 1), :, :] = jwin.astype(jnp.int8)[None]
+            metric_ref[:] = best
+            return 0
+
+        def onehot_best(m):
+            best = jnp.max(m, axis=0, keepdims=True)
+            min_rank = jnp.min(jnp.where(m == best, row, 16), axis=0,
+                               keepdims=True)
+            return (row == min_rank).astype(jnp.float32)
+
+        for k in range(nb + 1):
+            if k > 0:
+                m = metric_ref[:]
+                bstate_ref[k - 1] = onehot_best(m)
+                r = rm_ref[pl.ds(k - 1, 1)]
+                metric_ref[:] = m * (1.0 - r) + init * r
+            jax.lax.fori_loop(segs[k], segs[k + 1], acs_step, 0)
+
+        onehot = onehot_best(metric_ref[:])
+        rowf = row.astype(jnp.float32)
+        # rev4 of the row index, for prev = rev4(j) as an iota compare
+        rev_row = (jnp.bitwise_or(
+            jnp.bitwise_or((row & 1) << 3, (row & 2) << 1),
+            jnp.bitwise_or((row & 4) >> 1, (row & 8) >> 3))).astype(jnp.float32)
+
+        def tb_step(t, onehot):
+            # current state's 4 LSBs are the 4 bits of this fused step
+            s = jnp.sum(onehot * rowf, axis=0, keepdims=True)   # [1, tile]
+            si = s.astype(jnp.int32)
+            bits4 = jnp.concatenate(
+                [((si >> 3) & 1)[None], ((si >> 2) & 1)[None],
+                 ((si >> 1) & 1)[None], (si & 1)[None]],
+                axis=0).astype(jnp.int8)                         # [4, 1, tile]
+            bits_ref[pl.ds(4 * t, 4), :, :] = bits4
+            decj = dec_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)
+            jpath = jnp.sum(onehot * decj, axis=0, keepdims=True)  # [1, tile]
+            return (rev_row == jpath).astype(jnp.float32)       # prev one-hot
+
+        for k in range(nb, -1, -1):
+            t0, t1 = segs[k], segs[k + 1]
+            onehot = jax.lax.fori_loop(
+                0, t1 - t0, lambda i, oh: tb_step(t1 - 1 - i, oh), onehot)
+            if k > 0:
+                r = rm_ref[pl.ds(k - 1, 1)]
+                onehot = bstate_ref[k - 1] * r + onehot * (1.0 - r)
+
+    return kernel
+
+
 def _make_segmented_kernel4(n_sym: int, n_out: int, tile_b: int,
                             boundaries: tuple):
     """Radix-4 variant of _make_segmented_kernel: halves the serial ACS
@@ -307,14 +425,14 @@ def _make_segmented_kernel(n_sym: int, n_out: int, tile_b: int,
 def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
                             generators=CONV_GENERATORS_CCH,
                             tile_b: int = 1024, interpret: bool = False,
-                            radix: int = 4):
+                            radix: int = 16):
     """Segmented decode: soft [B, >= n_sym*N] + per-lane reset masks
     rmask [B, len(boundaries)] (1.0 = trellis restarts at that boundary)
     -> hard bits [B, n_sym]. Where rmask is 1 at boundary t, bits [0:t)
     and [t:...) are bit-identical to two independent decode_pallas calls
-    on the corresponding soft segments. radix=4 fuses two trellis steps
-    per serial iteration (bit-exact; auto-falls back to 2 when the
-    layout is odd)."""
+    on the corresponding soft segments. radix=16/4 fuses four/two
+    trellis steps per serial iteration (bit-exact; auto-falls back
+    16 -> 4 -> 2 on layouts the higher radix doesn't divide)."""
     generators = tuple(map(tuple, generators))
     n_out = len(generators)
     nb = len(boundaries)
@@ -328,10 +446,29 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
         rmask = jnp.pad(rmask, ((0, pad), (0, 0)))
     Bp = soft.shape[0]
     rm_t = rmask.T  # [nb, Bp]
-    use_r4 = (radix == 4 and n_sym % 2 == 0
+    use_r16 = (radix >= 16 and n_sym % 4 == 0
+               and all(b % 4 == 0 for b in boundaries))
+    use_r4 = (not use_r16 and radix >= 4 and n_sym % 2 == 0
               and all(b % 2 == 0 for b in boundaries))
 
-    if use_r4:
+    if use_r16:
+        sgn16, rank = _tables16(generators)
+        # [T/4, 4N, B]: four consecutive symbols per row
+        soft_tm = jnp.transpose(
+            soft.reshape(Bp, n_sym // 4, 4 * n_out), (1, 2, 0))
+        kernel = _make_segmented_kernel16(n_sym, n_out, tile,
+                                          tuple(boundaries))
+        in_specs = [
+            pl.BlockSpec((n_sym // 4, 4 * n_out, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 4 * n_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(nb, 1), tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        consts = (jnp.asarray(sgn16),)
+        dec_scratch = pltpu.VMEM((n_sym // 4, 16, tile), jnp.int8)
+    elif use_r4:
         sgn, psel, tbT, sb0, sb1 = _tables4(generators)
         # [T/2, 2N, B]: two consecutive symbols per row
         soft_tm = jnp.transpose(
