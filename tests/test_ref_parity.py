@@ -223,7 +223,8 @@ class TestRefParity:
         assert len(schf_recs) < len(aach_recs)
 
     def test_long_multiframe_soak(self, ref_rx_bin, tmp_path):
-        """>10k-slot equivalent: many frames with periodic damage."""
+        """Many frames with periodic damage (fast smoke version of the
+        10k-slot soak below)."""
         parts = []
         rng = np.random.default_rng(99)
         for k in range(6):
@@ -234,3 +235,36 @@ class TestRefParity:
             b[idx] ^= 1
             parts.append(b)
         assert_parity(np.concatenate(parts), ref_rx_bin, tmp_path)
+
+    def test_ten_thousand_slot_soak(self, ref_rx_bin, tmp_path):
+        """>=10k slots through both receivers with per-block random
+        damage: flips, erased spans, and noise gaps between blocks —
+        every sync/lock/CRC/type-1 decision must stay bit-identical
+        over the long haul (fragslot aging, TDMA wraps, repeated
+        relocks)."""
+        rng = np.random.default_rng(777)
+        bases = [build_capture(n_frames=16, seed=200 + k,
+                               noise_prefix=0)[0] for k in range(4)]
+        parts = []
+        slots = 0
+        while slots < 10_000:
+            b = bases[int(rng.integers(0, 4))].copy()
+            nf = int(rng.integers(10, 200))
+            idx = rng.choice(len(b), size=nf, replace=False)
+            b[idx] ^= 1
+            if rng.random() < 0.3:  # occasional destroyed stretch
+                span = int(rng.integers(100, 900))
+                start = int(rng.integers(0, len(b) - span))
+                b[start:start + span] = rng.integers(0, 2, size=span)
+            parts.append(b)
+            if rng.random() < 0.2:  # inter-block noise gap (forces relock)
+                parts.append(rng.integers(
+                    0, 2, size=int(rng.integers(50, 400))).astype(np.uint8))
+            slots += len(b) // 510
+        stream = np.concatenate(parts)
+        assert len(stream) // 510 >= 10_000
+        ref = assert_parity(stream, ref_rx_bin, tmp_path)
+        assert ref["bursts"] >= 7_000          # mostly locked
+        assert len(ref["founds"]) >= 10        # plenty of re-acquisitions
+        ok = sum(1 for r in ref["recs"] if r[4] == 1)
+        assert ok > 5_000 and ok < len(ref["recs"])  # mix of OK and damaged
