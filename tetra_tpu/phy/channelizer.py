@@ -63,6 +63,87 @@ def _resample_plan(n_in: int, fs: float, out_rate: float,
     return start, phase, bank
 
 
+@functools.lru_cache(maxsize=32)
+def _rational_ratio(fs: float, out_rate: float, max_den: int = 64):
+    """(L, M) with fs/out_rate == L/M exactly, or None."""
+    ratio = fs / out_rate
+    for M in range(1, max_den + 1):
+        L = round(ratio * M)
+        if abs(ratio * M - L) < 1e-9 and L > 0:
+            return L, M
+    return None
+
+
+@functools.lru_cache(maxsize=32)
+def _resample_block_plan(n_in: int, fs: float, out_rate: float,
+                         ntaps_per_phase: int = 8, skew: float = 0.0):
+    """Block-matmul reorganisation of _resample_plan for rational
+    fs/out_rate = L/M: the interpolation phase pattern repeats every M
+    outputs, so output block q (M samples) is one [width, M] matmul
+    against input window [q·L + bmin, q·L + bmin + width) — a ~1.3x
+    banded gather + an MXU matmul instead of the generic path's 8x
+    window materialisation. Coefficients are IDENTICAL to
+    _resample_plan (same 32-phase quantised bank), so results match the
+    generic path. Returns (W [width, M], bmin, width, L, M, n_out,
+    pad_l) or None when the ratio isn't rational with a small
+    denominator."""
+    lm = _rational_ratio(fs, out_rate)
+    if lm is None:
+        return None
+    L, M = lm
+    ratio = fs / out_rate
+    centre = ntaps_per_phase // 2 - 1
+    n_out = max(int((n_in - ntaps_per_phase - max(skew, 0.0)) / ratio), 0)
+    pos = np.arange(M) * ratio + skew
+    ipos = np.floor(pos).astype(np.int64)
+    frac = pos - ipos
+    phase = np.minimum((frac * _N_PHASES).astype(np.int32), _N_PHASES - 1)
+    b = ipos - centre
+    bmin = int(b.min())
+    width = int(b.max()) + ntaps_per_phase - bmin
+    # same bank as _resample_plan
+    k = np.arange(ntaps_per_phase) - centre
+    W = np.zeros((width, M), np.float32)
+    for r in range(M):
+        d = phase[r] / _N_PHASES
+        h = np.sinc(k - d) * np.hamming(ntaps_per_phase)
+        W[b[r] - bmin: b[r] - bmin + ntaps_per_phase, r] = \
+            (h / h.sum()).astype(np.float32)
+    pad_l = max(-bmin, 0)
+    return W, bmin, width, L, M, n_out, pad_l
+
+
+def _resample_ri_one(x, n_in: int, fs: float, out_rate: float,
+                     skew: float = 0.0):
+    """Polyphase resample one real plane [..., n_in] -> [..., n_out].
+
+    Rational ratios take the block-matmul fast path; anything else the
+    generic per-output gather (identical maths, more HBM traffic)."""
+    plan = _resample_block_plan(n_in, fs, out_rate, skew=skew)
+    if plan is not None:
+        W, bmin, width, L, M, n_out, pad_l = plan
+        if n_out == 0:
+            return x[..., :0]
+        nq = -(-n_out // M)
+        need = pad_l + (nq - 1) * L + bmin + width
+        pad_r = max(need - pad_l - n_in, 0)
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad_l, pad_r)],
+                     mode="edge")
+        idx = ((jnp.arange(nq) * L)[:, None] + (pad_l + bmin)
+               + jnp.arange(width)[None, :])                    # [nq, width]
+        blocks = xp[..., idx]                                   # [.., nq, w]
+        out = jnp.einsum("...qw,wr->...qr", blocks, jnp.asarray(W),
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(*x.shape[:-1], nq * M)[..., :n_out]
+    base, phase, bank = _resample_plan(n_in, fs, out_rate, skew=skew)
+    ntp = bank.shape[1]
+    gather = jnp.asarray(base)[:, None] + jnp.arange(ntp)[None, :]
+    gather = jnp.clip(gather, 0, n_in - 1)
+    coefs = jnp.asarray(bank)[jnp.asarray(phase)].astype(jnp.float32)
+    return jnp.einsum("...nw,nw->...n", x[..., gather], coefs)
+
+
 @functools.partial(jax.jit, static_argnames=("fs", "out_rate", "ntaps"))
 def channelize_ri(re, im, offsets_hz, fs: float, out_rate: float = DEMOD_RATE,
                   ntaps: int = 127):
@@ -88,13 +169,8 @@ def channelize_ri(re, im, offsets_hz, fs: float, out_rate: float = DEMOD_RATE,
     fr = _fir_real(mr, taps)
     fi = _fir_real(mi, taps)
 
-    base, phase, bank = _resample_plan(T, fs, out_rate)
-    ntp = bank.shape[1]
-    gather = jnp.asarray(base)[:, None] + jnp.arange(ntp)[None, :]
-    gather = jnp.clip(gather, 0, T - 1)
-    coefs = jnp.asarray(bank)[jnp.asarray(phase)].astype(jnp.float32)
-    out_r = jnp.einsum("cnw,nw->cn", fr[:, gather], coefs)
-    out_i = jnp.einsum("cnw,nw->cn", fi[:, gather], coefs)
+    out_r = _resample_ri_one(fr, T, fs, out_rate)
+    out_i = _resample_ri_one(fi, T, fs, out_rate)
     return out_r, out_i
 
 
@@ -117,14 +193,11 @@ def channelize(iq, offsets_hz, fs: float, out_rate: float = DEMOD_RATE,
     taps = jnp.asarray(design_lowpass(fs, 12_500.0, ntaps))
     filt = _fir_complex(mixed, taps)                           # [C, T]
 
-    # polyphase resample to out_rate
-    base, phase, bank = _resample_plan(T, fs, out_rate)
-    ntp = bank.shape[1]
-    gather = jnp.asarray(base)[:, None] + jnp.arange(ntp)[None, :]  # [n_out, ntp]
-    gather = jnp.clip(gather, 0, T - 1)
-    windows = filt[:, gather]                                   # [C, n_out, ntp]
-    coefs = jnp.asarray(bank)[jnp.asarray(phase)]               # [n_out, ntp]
-    return jnp.einsum("cnw,nw->cn", windows, coefs.astype(jnp.complex64))
+    # polyphase resample to out_rate (planar; complex64 einsum would
+    # hit the slow generic path anyway)
+    out_r = _resample_ri_one(jnp.real(filt), T, fs, out_rate)
+    out_i = _resample_ri_one(jnp.imag(filt), T, fs, out_rate)
+    return (out_r + 1j * out_i).astype(jnp.complex64)
 
 
 def synthesize_wideband(basebands, offsets_hz, fs: float,

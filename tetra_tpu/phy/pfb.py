@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tetra_tpu.phy.channelizer import DEMOD_RATE, _resample_plan
+from tetra_tpu.phy.channelizer import DEMOD_RATE
 
 __all__ = ["pfb_prototype", "pfb_channelize_ri", "pfb_to_demod_rate_ri"]
 
@@ -134,11 +134,7 @@ def pfb_to_demod_rate_ri(re, im, channel_idx, n_chan: int, fs: float,
     # before the stream start and are garbage (inside any demod margin).
     hop = n_chan // 2
     skew = -(n_chan * taps_per_branch - 1) / (2.0 * hop)
-    base, phase, bank = _resample_plan(m, chan_rate, out_rate, skew=skew)
-    ntp = bank.shape[1]
-    gather = jnp.asarray(base)[:, None] + jnp.arange(ntp)[None, :]
-    gather = jnp.clip(gather, 0, m - 1)
-    coefs = jnp.asarray(bank)[jnp.asarray(phase)].astype(jnp.float32)
-    out_r = jnp.einsum("cnw,nw->cn", cr[:, gather], coefs)
-    out_i = jnp.einsum("cnw,nw->cn", ci[:, gather], coefs)
+    from tetra_tpu.phy.channelizer import _resample_ri_one
+    out_r = _resample_ri_one(cr, m, chan_rate, out_rate, skew=skew)
+    out_i = _resample_ri_one(ci, m, chan_rate, out_rate, skew=skew)
     return out_r, out_i
