@@ -194,22 +194,33 @@ def decode_slots_fused(slots, inits, kinds, soft_input: bool = False):
     srcv = jnp.concatenate([slots_f, jnp.zeros((N, 1), in_dtype)], axis=-1)
 
     # per-kind CONSTANT index maps -> static gathers (cheap copies) and
-    # one one-hot bf16 matmul each for the depuncture/deinterleave
-    # spread; per-slot dynamic gathers would lower to real TPU gathers
-    # and dominate the whole pipeline
-    soft = jnp.zeros((N, N_MOTHER), jnp.float32)
+    # ONE one-hot matmul for the depuncture/deinterleave spread: the
+    # three kinds' sign vectors are concatenated with inactive kinds
+    # zeroed by the per-slot kind mask, so a single [N, 3*432] x
+    # [3*432, 1152] product replaces three matmuls + two full-width
+    # selects (each a ~0.5 GB HBM pass at bench batch sizes). Per-slot
+    # dynamic gathers would lower to real TPU gathers and dominate.
+    dt = pipeline_mod._mm_dtype()
+    parts = []
     for kk in range(3):
         ks_k = jnp.take(ksv, jnp.asarray(sel_ks[kk]), axis=-1)
         src_k = jnp.take(srcv, jnp.asarray(sel_slot[kk]), axis=-1)
-        dt = pipeline_mod._mm_dtype()
+        mask = (k == kk)[:, None]
         if soft_input:
             # descramble = sign flip; amplitudes carried through
-            sgn = (src_k * (1 - 2 * ks_k.astype(jnp.float32))).astype(dt)
+            sgn = jnp.where(mask, src_k * (1 - 2 * ks_k.astype(jnp.float32)),
+                            0.0).astype(dt)
         else:
-            sgn = (1 - 2 * (src_k ^ ks_k).astype(jnp.int8)).astype(dt)
-        s = jnp.dot(sgn, jnp.asarray(P[kk], dt),
-                    preferred_element_type=jnp.float32)
-        soft = jnp.where((k == kk)[:, None], s, soft)
+            sgn = jnp.where(mask, 1 - 2 * (src_k ^ ks_k).astype(jnp.int8),
+                            0).astype(dt)
+        parts.append(sgn)
+    P_all = jnp.asarray(np.concatenate(P, axis=0), dt)         # [3L, 1152]
+    # hard mode: soft values are {±127, 0} — exact in bf16, which the
+    # Pallas decoder consumes natively (halves the transpose traffic);
+    # soft mode keeps f32 amplitudes
+    out_dt = jnp.float32 if (soft_input or dt == jnp.float32) else jnp.bfloat16
+    soft = jnp.dot(jnp.concatenate(parts, axis=-1), P_all,
+                   preferred_element_type=out_dt)
     rm = jnp.take(jnp.asarray(rmask_t), k, axis=0)             # [N, 3]
 
     bits = _decode_segmented_auto(soft, rm)                    # [N, 288]

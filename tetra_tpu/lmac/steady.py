@@ -38,9 +38,12 @@ def classify_train_seq(slots, min_agree: float = 0.75):
     y = jnp.asarray((1 - 2 * C.TRAIN_Y.astype(np.int32)).astype(np.float32))
     nseq = jnp.asarray((1 - 2 * C.TRAIN_N.astype(np.int32)).astype(np.float32))
     p = jnp.asarray((1 - 2 * C.TRAIN_P.astype(np.int32)).astype(np.float32))
-    x = 1.0 - 2.0 * slots.astype(jnp.float32)
-    w_sync = x[..., C.SYNC_TRAIN_OFFSET:C.SYNC_TRAIN_OFFSET + 38]
-    w_norm = x[..., C.NORM_TRAIN_OFFSET:C.NORM_TRAIN_OFFSET + 22]
+    # slice the training windows FIRST: casting the full slot tensor to
+    # f32 materialises a 4x copy of every slot just to read 60 bits
+    w_sync = 1.0 - 2.0 * slots[
+        ..., C.SYNC_TRAIN_OFFSET:C.SYNC_TRAIN_OFFSET + 38].astype(jnp.float32)
+    w_norm = 1.0 - 2.0 * slots[
+        ..., C.NORM_TRAIN_OFFSET:C.NORM_TRAIN_OFFSET + 22].astype(jnp.float32)
     fr = lambda corr, n: (corr / n + 1.0) * 0.5
     f_sync = fr(jnp.dot(w_sync, y, preferred_element_type=jnp.float32), 38.0)
     f_n = fr(jnp.dot(w_norm, nseq, preferred_element_type=jnp.float32), 22.0)
@@ -60,9 +63,10 @@ def verify_train_seq(slots):
     y = jnp.asarray((1 - 2 * C.TRAIN_Y.astype(np.int32)).astype(np.float32))
     nseq = jnp.asarray((1 - 2 * C.TRAIN_N.astype(np.int32)).astype(np.float32))
     p = jnp.asarray((1 - 2 * C.TRAIN_P.astype(np.int32)).astype(np.float32))
-    x = 1.0 - 2.0 * slots.astype(jnp.float32)
-    w_sync = x[..., C.SYNC_TRAIN_OFFSET:C.SYNC_TRAIN_OFFSET + 38]
-    w_norm = x[..., C.NORM_TRAIN_OFFSET:C.NORM_TRAIN_OFFSET + 22]
+    w_sync = 1.0 - 2.0 * slots[
+        ..., C.SYNC_TRAIN_OFFSET:C.SYNC_TRAIN_OFFSET + 38].astype(jnp.float32)
+    w_norm = 1.0 - 2.0 * slots[
+        ..., C.NORM_TRAIN_OFFSET:C.NORM_TRAIN_OFFSET + 22].astype(jnp.float32)
     is_sync = jnp.dot(w_sync, y, preferred_element_type=jnp.float32) == 38.0
     is_n = jnp.dot(w_norm, nseq, preferred_element_type=jnp.float32) == 22.0
     is_p = jnp.dot(w_norm, p, preferred_element_type=jnp.float32) == 22.0

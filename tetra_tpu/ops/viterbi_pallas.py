@@ -437,7 +437,11 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
     n_out = len(generators)
     nb = len(boundaries)
     B = soft.shape[0]
-    soft = soft[:, : n_sym * n_out].astype(jnp.float32)
+    # bf16 soft inputs pass through untouched (the hard chain's ±127/0
+    # alphabet is bf16-exact; halves the transpose/VMEM traffic); any
+    # other dtype is promoted to f32
+    sdt = jnp.bfloat16 if soft.dtype == jnp.bfloat16 else jnp.float32
+    soft = soft[:, : n_sym * n_out].astype(sdt)
     rmask = rmask.astype(jnp.float32).reshape(B, nb)
     tile = min(tile_b, B)
     pad = (-B) % tile
@@ -466,7 +470,7 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
             pl.BlockSpec((max(nb, 1), tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ]
-        consts = (jnp.asarray(sgn16),)
+        consts = (jnp.asarray(sgn16).astype(sdt),)
         dec_scratch = pltpu.VMEM((n_sym // 4, 16, tile), jnp.int8)
     elif use_r4:
         sgn, psel, tbT, sb0, sb1 = _tables4(generators)
@@ -491,8 +495,8 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
             pl.BlockSpec((max(nb, 1), tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ]
-        consts = (jnp.asarray(sgn), jnp.asarray(psel), jnp.asarray(tbT),
-                  jnp.asarray(sb0), jnp.asarray(sb1))
+        consts = (jnp.asarray(sgn).astype(sdt), jnp.asarray(psel),
+                  jnp.asarray(tbT), jnp.asarray(sb0), jnp.asarray(sb1))
         dec_scratch = pltpu.VMEM((n_sym // 2, 16, tile), jnp.int8)
     else:
         sgn, psel, tbT, sbits = _tables(generators)
@@ -513,8 +517,8 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
             pl.BlockSpec((max(nb, 1), tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ]
-        consts = (jnp.asarray(sgn), jnp.asarray(psel), jnp.asarray(tbT),
-                  jnp.asarray(sbits))
+        consts = (jnp.asarray(sgn).astype(sdt), jnp.asarray(psel),
+                  jnp.asarray(tbT), jnp.asarray(sbits))
         dec_scratch = pltpu.VMEM((n_sym, 16, tile), jnp.int8)
 
     out = pl.pallas_call(
