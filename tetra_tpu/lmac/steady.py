@@ -144,9 +144,11 @@ def locked_step_ri(re, im, inits, phase_bit: int = 0, sps: int = 2,
     off the device transport (some TPU paths don't support it).
     fast=True uses the trig-free hard-decision demod (identical bits to
     the angle+slicer path on clean/locked signals, no atan2);
-    fast="slotwise" adds per-slot timing re-pick + blind residual-CFO
-    correction for degraded signals (CFO ramps, sample-clock drift —
-    dqpsk.demodulate_hard_slotwise_ri).
+    fast="pallas" routes the same demod through the fused VMEM kernel
+    (phy.demod_pallas — one HBM read per sample instead of half a dozen
+    [C, T] intermediates); fast="slotwise" adds per-slot timing re-pick
+    + blind residual-CFO correction for degraded signals (CFO ramps,
+    sample-clock drift — dqpsk.demodulate_hard_slotwise_ri).
     """
     if fast in ("slotwise", "soft"):
         S = n_slots if n_slots is not None else \
@@ -171,7 +173,10 @@ def locked_step_ri(re, im, inits, phase_bit: int = 0, sps: int = 2,
         out = locked_step_bits(slots, inits, decoders=decoders)
         out["bits"] = slots.reshape(*slots.shape[:-2], S * C.BITS_PER_TS)
         return out
-    if fast:
+    if fast == "pallas":
+        from tetra_tpu.phy.demod_pallas import demodulate_hard_ri_pallas
+        bits = demodulate_hard_ri_pallas(re, im, sps=sps)
+    elif fast:
         bits = dqpsk.demodulate_hard_ri(re, im, sps=sps)
     else:
         syms = dqpsk.demodulate_ri(re, im, sps=sps)
