@@ -6,8 +6,9 @@ Stages (SURVEY.md §6 protocol, north star = 1000 realtime carriers):
      PARITY.md "streaming ingest")
   2. FEC-only: batched SCH/F lower-MAC decode (descramble -> one-hot
      matmul assembly -> radix-4 segmented Pallas Viterbi -> CRC)
-  3. full chain, kind-compacted: DQPSK demod -> slice -> train-seq
-     classify -> fused single-pass decode of ALL burst kinds
+  3. full chain, kind-compacted: fused Pallas DQPSK demod (FIR +
+     phasor + slicing in VMEM) -> train-seq classify -> fused
+     single-pass decode of ALL burst kinds
   4. mixed-traffic comparison: the redundant all-interpretations path
   5. wideband: 512-channel PFB front end + full chain
   6. streaming ingest: int8 IQ chunks, double-buffered device_put
@@ -121,12 +122,13 @@ def main():
     @jax.jit
     def chain_step(re, im, i):
         out = steady.locked_step_ri(re, im, i, phase_bit=64, n_slots=N_SLOTS,
-                                    decoders=("fused",))
+                                    fast="pallas", decoders=("fused",))
         return out["crc_ok"].astype(jnp.int32).sum()
 
     @jax.jit
     def chain_step_all3(re, im, i):
-        out = steady.locked_step_ri(re, im, i, phase_bit=64, n_slots=N_SLOTS)
+        out = steady.locked_step_ri(re, im, i, phase_bit=64, n_slots=N_SLOTS,
+                                    fast="pallas")
         return out["crc_ok"].astype(jnp.int32).sum()
 
     def chain_rate(step):
@@ -160,7 +162,8 @@ def main():
             cr, ci = pfb_mod.pfb_to_demod_rate_ri(
                 wre, wim, jnp.arange(N_CHAN, dtype=jnp.int32), N_CHAN, FS_WIDE)
             out = steady.locked_step_ri(cr, ci, i, phase_bit=64,
-                                        n_slots=n_slots, decoders=("fused",))
+                                        n_slots=n_slots, fast="pallas",
+                                        decoders=("fused",))
             return out["kinds"].sum() + out["crc_ok"].astype(jnp.int32).sum()
         return wide_step
 
@@ -193,7 +196,8 @@ def main():
     def ingest_step(c):
         re, im = stream.dequantize_iq(c["re"], c["im"])
         out = steady.locked_step_ri(re, im, c["init"], phase_bit=64,
-                                    n_slots=SLOTS_ING, decoders=("fused",))
+                                    n_slots=SLOTS_ING, fast="pallas",
+                                    decoders=("fused",))
         return out["crc_ok"].astype(jnp.int32).sum()
 
     chunks = [{"re": re8, "im": im8, "init": init_ing}] * NCHUNK

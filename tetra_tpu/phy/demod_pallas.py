@@ -4,20 +4,27 @@ Equivalent to dqpsk.demodulate_hard_ri (same RRC matched filter, same
 trig-free sign decisions, same |sin 2θ| timing metric) but fused: the
 XLA version materialises half a dozen [C, T] float32 intermediates
 (filtered planes, lagged copies, differential phasor, metric terms) in
-HBM, while this kernel keeps everything in VMEM — it reads each input
-sample once (plus a ~4-8% overlap-save halo), writes 2 bytes of
-decisions per sample, and accumulates the per-carrier timing metric
-across time blocks inside the grid. The demodulator is the front door
-of the whole receive chain (SURVEY.md §3.1 hot loop 1/2 territory:
-reference src/demod/cqpsk.py:226-283 + float_to_bits.c), so it gets the
-same Pallas treatment as the Viterbi.
+HBM, while this kernel keeps everything in VMEM. The demodulator is the
+front door of the whole receive chain (SURVEY.md §3.1 hot loop 1/2
+territory: reference src/demod/cqpsk.py:226-283 + float_to_bits.c), so
+it gets the same Pallas treatment as the Viterbi.
 
-Layout: time blocks in the grid's fast axis, carriers in sublanes, time
-in lanes. The RRC FIR is a banded [W, tb+sps] matmul against the
-overlap-save window (MXU), the phasor / metric / slicing are
-elementwise VPU ops, and the per-carrier timing choice — the only
-cross-time coupling — leaves the kernel as a [C, sps] partial-sum
-output that XLA argmaxes before a cheap int8 phase gather.
+Design notes (all three were measured to matter on v5e):
+- No pre-gather, no pad copy: the raw [C, T] planes are passed three
+  times with clamped block index maps (prev/cur/next time block); the
+  kernel stitches the overlap-save window with two static concats and
+  zeroes out-of-stream lanes with an iota mask. Out-of-range views are
+  clamped to a real block and always masked.
+- The RRC FIR runs as tb/128+1 banded [149, 128] matmuls (MXU) instead
+  of one dense [W, tb] band — the dense band's FLOPs grow with the
+  block length, the sub-blocked form stays at ~150 MACs/output.
+- Decisions leave as ONE packed int8 (b0 | b1<<1): half the output
+  bytes, one phase-select gather on the host side of the kernel.
+
+Layout: carriers in sublanes, time in lanes; grid = (carrier tiles,
+time blocks). The per-carrier timing choice — the only cross-time
+coupling — accumulates as a [C, sps] metric across the time-block grid
+axis and is argmaxed by XLA after the kernel.
 """
 from __future__ import annotations
 
@@ -33,12 +40,13 @@ from tetra_tpu.phy.dqpsk import rrc_taps
 
 __all__ = ["demodulate_hard_ri_pallas"]
 
+_SUB = 128          # FIR sub-block width (one MXU tile of outputs)
+
 
 @functools.lru_cache(maxsize=8)
 def _band(W: int, n_fir: int, taps_key) -> np.ndarray:
     """[W, n_fir] banded matrix: fir[o] = Σ_m win[m] · band[m, o] with
-    band[m, o] = taps_rev[m - o] — the same overlap-save FIR-as-matmul
-    as dqpsk._fir_real, windowed per kernel block."""
+    band[m, o] = taps_rev[m - o] — overlap-save FIR-as-matmul."""
     kernel = np.asarray(taps_key, np.float32)[::-1]
     K = len(kernel)
     band = np.zeros((W, n_fir), np.float32)
@@ -47,43 +55,61 @@ def _band(W: int, n_fir: int, taps_key) -> np.ndarray:
     return band
 
 
-def _make_kernel(tc: int, tb: int, sps: int):
+def _make_kernel(tc: int, tb: int, sps: int, K: int, T: int):
+    pad_l = K // 2
+    n_sub = tb // _SUB + 1
+    halo_l = _SUB + pad_l           # window starts at t0 - SUB - pad_l
+    halo_r = K - 1 - pad_l          # ... and ends at t0 + tb + halo_r
+    W = tb + halo_l + halo_r
 
-    def kernel(fre_ref, fim_ref, band_ref, b0_ref, b1_ref, met_ref):
+    def kernel(xl_re, xc_re, xr_re, xl_im, xc_im, xr_im, band_ref,
+               pk_ref, met_ref):
         j = pl.program_id(1)
-        band = band_ref[:]
-        fre = fre_ref[0]                                   # [tc, W]
-        fim = fim_ref[0]
-        fr = jnp.dot(fre, band, preferred_element_type=jnp.float32)
-        fi = jnp.dot(fim, band, preferred_element_type=jnp.float32)
-        # differential phasor d = z[t] · conj(z[t - sps]); at the very
-        # start of the stream the lag is zero (matches the XLA demod's
+        band = band_ref[:]                                  # [SUB+K-1, SUB]
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (tc, W), 1)
+        g = j * tb - halo_l + lane_w                        # global sample idx
+        valid = jnp.logical_and(g >= 0, g < T)
+
+        def fir(xl, xc, xr):
+            win = jnp.concatenate(
+                [xl[:, tb - halo_l:], xc[:], xr[:, :halo_r]], axis=1)
+            win = jnp.where(valid, win, 0.0)
+            subs = [jnp.dot(win[:, m * _SUB: m * _SUB + _SUB + K - 1], band,
+                            preferred_element_type=jnp.float32)
+                    for m in range(n_sub)]
+            return jnp.concatenate(subs, axis=1)            # [tc, t0-SUB, t0+tb)
+
+        fr = fir(xl_re, xc_re, xr_re)
+        fi = fir(xl_im, xc_im, xr_im)
+        # differential phasor d = z[t] · conj(z[t - sps]); the lag is
+        # zero for the stream's first sps samples (the XLA demod's
         # zero-padded lag, not the FIR's startup transient)
-        cr, ci = fr[:, sps:], fi[:, sps:]                  # [tc, tb]
+        cr, ci = fr[:, _SUB:], fi[:, _SUB:]                 # [tc, tb]
         lane = jax.lax.broadcasted_iota(jnp.int32, (tc, tb), 1)
         head = jnp.logical_and(j == 0, lane < sps)
-        lr = jnp.where(head, 0.0, fr[:, :-sps])
-        li = jnp.where(head, 0.0, fi[:, :-sps])
+        lr = jnp.where(head, 0.0, fr[:, _SUB - sps: _SUB - sps + tb])
+        li = jnp.where(head, 0.0, fi[:, _SUB - sps: _SUB - sps + tb])
         dr = cr * lr + ci * li
         di = ci * lr - cr * li
-        # hard decisions (float_to_bits.c threshold map, trig-free)
-        b0_ref[0] = (di <= 0.0).astype(jnp.int8)
-        b1_ref[0] = (dr < 0.0).astype(jnp.int8)
-        # timing metric |sin 2θ| = 2|dr·di| / |d|², summed per phase.
-        # Mosaic can't lane-split [tc, tb] -> [tc, tb/sps, sps]; per-phase
-        # sums are masked lane reductions instead (sps is 2, static).
+        # hard decisions (float_to_bits.c threshold map, trig-free),
+        # packed: bit0 = (Im d <= 0), bit1 = (Re d < 0)
+        pk_ref[:] = ((di <= 0.0).astype(jnp.int32)
+                     + 2 * (dr < 0.0).astype(jnp.int32)).astype(jnp.int8)
+        # timing metric |sin 2θ| = 2|dr·di| / |d|², summed per sample
+        # phase (masked lane reductions: Mosaic can't lane-split
+        # [tc, tb] -> [tc, tb/sps, sps])
         mag2 = dr * dr + di * di
         s = 2.0 * jnp.abs(dr * di) / (mag2 + 1e-12)
         part = jnp.concatenate(
             [jnp.sum(jnp.where(lane % sps == p, s, 0.0), axis=1,
-                     keepdims=True) for p in range(sps)], axis=1)  # [tc, sps]
+                     keepdims=True) for p in range(sps)], axis=1)
 
         @pl.when(j == 0)
         def _():
             met_ref[:] = jnp.zeros_like(met_ref)
         met_ref[:] += part
 
-    return kernel
+    return kernel, W
 
 
 @functools.partial(jax.jit,
@@ -105,66 +131,54 @@ def demodulate_hard_ri_pallas(re, im, sps: int = 2, tile_c: int = 256,
         interpret = jax.default_backend() not in ("tpu", "axon")
     taps = rrc_taps(sps)
     K = len(taps)
-    pad_l = K // 2
     C, T = re.shape
     n_sym = T // sps
-    tb = min(tile_t, -(-T // sps) * sps)
-    # halo: fir output t needs x[t - pad_l, t - pad_l + K); block j
-    # needs fir over [j·tb - sps, j·tb + tb)
-    W = tb + sps + K - 1
+    # the left halo is _SUB + K//2 < 2·_SUB lanes of the previous block,
+    # so blocks must span at least two sub-blocks
+    tb = max(2 * _SUB, min(tile_t, -(-T // _SUB) * _SUB))
     n_blk = -(-T // tb)
     tc = min(tile_c, C)
     pc = (-C) % tc
-    pt = n_blk * tb - T
-
-    def frames(x):
-        xp = jnp.pad(x.astype(jnp.float32),
-                     ((0, pc), (pad_l + sps, pt + K - 1 - pad_l)))
-        idx = (jnp.arange(n_blk) * tb)[:, None] + jnp.arange(W)[None, :]
-        return jnp.swapaxes(xp[:, idx], 0, 1)               # [n_blk, Cp, W]
-
-    fre = frames(re)
-    fim = frames(im)
     Cp = C + pc
-    band = jnp.asarray(_band(W, tb + sps, tuple(np.asarray(taps).tolist())))
 
-    kernel = _make_kernel(tc, tb, sps)
-    b0, b1, met = pl.pallas_call(
+    xre = jnp.pad(re.astype(jnp.float32), ((0, pc), (0, 0)))
+    xim = jnp.pad(im.astype(jnp.float32), ((0, pc), (0, 0)))
+    band = jnp.asarray(_band(_SUB + K - 1, _SUB,
+                             tuple(np.asarray(taps).tolist())))
+
+    kernel, W = _make_kernel(tc, tb, sps, K, T)
+    nb = n_blk  # captured below; index maps clamp the halo views
+
+    def view(off):
+        def imap(i, j):
+            return (i, jnp.clip(j + off, 0, nb - 1))
+        return pl.BlockSpec((tc, tb), imap, memory_space=pltpu.VMEM)
+
+    plane_specs = [view(-1), view(0), view(+1)]
+    pk, met = pl.pallas_call(
         kernel,
         grid=(Cp // tc, n_blk),
-        in_specs=[
-            pl.BlockSpec((1, tc, W), lambda i, j: (j, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tc, W), lambda i, j: (j, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, tb + sps), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=plane_specs + plane_specs + [
+            pl.BlockSpec((_SUB + K - 1, _SUB), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((1, tc, tb), lambda i, j: (j, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tc, tb), lambda i, j: (j, i, 0),
+            pl.BlockSpec((tc, tb), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, sps), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_blk, Cp, tb), jnp.int8),
-            jax.ShapeDtypeStruct((n_blk, Cp, tb), jnp.int8),
+            jax.ShapeDtypeStruct((Cp, n_blk * tb), jnp.int8),
             jax.ShapeDtypeStruct((Cp, sps), jnp.float32),
         ],
         interpret=interpret,
-    )(fre, fim, band)
+    )(xre, xre, xre, xim, xim, xim, band)
 
-    b0 = jnp.swapaxes(b0, 0, 1).reshape(Cp, n_blk * tb)[:C, :T]
-    b1 = jnp.swapaxes(b1, 0, 1).reshape(Cp, n_blk * tb)[:C, :T]
+    pk = pk[:C, : n_sym * sps].reshape(C, n_sym, sps)
     met = met[:C]
 
     # per-carrier timing phase, then slice that parity's samples
     best = jnp.argmax(met, axis=-1).astype(jnp.int32)       # [C]
-    b0s = b0[:, : n_sym * sps].reshape(C, n_sym, sps)
-    b1s = b1[:, : n_sym * sps].reshape(C, n_sym, sps)
-    sel0 = jnp.take_along_axis(b0s, best[:, None, None], axis=-1)[..., 0]
-    sel1 = jnp.take_along_axis(b1s, best[:, None, None], axis=-1)[..., 0]
-    bits = jnp.stack([sel0, sel1], axis=-1)
+    sel = jnp.take_along_axis(pk, best[:, None, None], axis=-1)[..., 0]
+    bits = jnp.stack([sel & 1, (sel >> 1) & 1], axis=-1)
     return bits.reshape(C, 2 * n_sym)
