@@ -115,7 +115,7 @@ def _make_kernel(tc: int, tb: int, sps: int, K: int, T: int):
 @functools.partial(jax.jit,
                    static_argnames=("sps", "tile_c", "tile_t", "interpret"))
 def demodulate_hard_ri_pallas(re, im, sps: int = 2, tile_c: int = 256,
-                              tile_t: int = 512,
+                              tile_t: int = 256,
                               interpret: bool | None = None):
     """Planar baseband [C, T] f32 -> hard ubits [C, 2·(T//sps)].
 
