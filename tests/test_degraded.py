@@ -160,3 +160,77 @@ class TestDegraded:
         ok_slot = _decode(off, len(p), fast="slotwise")
         assert ok_slot.all()
         assert not ok_fast.all()
+
+
+class TestEqualized:
+    """fast="eq": per-slot pilot-aided T/2 equalizer (phy/equalize.py,
+    the CMA-equalizer analogue of simdemod3.py done feed-forward)."""
+
+    def test_clean(self):
+        iq, p = _schf_iq()
+        ok = _decode(_awgn(iq, 12), len(p), fast="eq")
+        assert ok.all(), f"{ok.sum()}/{len(ok)}"
+
+    def test_two_tap_channel_low_snr(self):
+        """Same -12 dB half-symbol echo the plain slotwise path needs
+        18 dB for — equalized, 12 dB suffices."""
+        iq, p = _schf_iq()
+        h = np.array([1.0, 0.25 * np.exp(1j * 0.7)], np.complex64)
+        faded = np.convolve(iq, h)[: iq.shape[0]]
+        ok = _decode(_awgn(faded, 12, seed=5), len(p), fast="eq")
+        assert ok.all(), f"{ok.sum()}/{len(ok)}"
+
+    def test_strong_echo(self):
+        """-6 dB echo at a full symbol: severe ISI, unequalized chains
+        fail at any SNR; the 3-tap T/2 equalizer holds 16 dB."""
+        iq, p = _schf_iq()
+        h = np.array([1.0, 0.0, 0.5 * np.exp(1j * 2.1)], np.complex64)
+        faded = np.convolve(iq, h)[: iq.shape[0]]
+        ok_eq = _decode(_awgn(faded, 16, seed=6), len(p), fast="eq")
+        assert ok_eq.all(), f"eq: {ok_eq.sum()}/{len(ok_eq)}"
+        ok_slot = _decode(_awgn(faded, 30, seed=6), len(p), fast="slotwise")
+        assert not ok_slot.all(), "unequalized slotwise path should fail here"
+
+    def test_multipath_plus_cfo(self):
+        """-12 dB echo + 800 Hz CFO, 14 dB: the blind CFO estimate and
+        the pilot fit compose."""
+        iq, p = _schf_iq()
+        h = np.array([1.0, 0.25 * np.exp(1j * 0.7)], np.complex64)
+        faded = np.convolve(iq, h)[: iq.shape[0]]
+        t = np.arange(faded.shape[0]) / FS
+        off = faded * np.exp(2j * np.pi * 800.0 * t)
+        ok = _decode(_awgn(off, 14, seed=7), len(p), fast="eq")
+        assert ok.all(), f"{ok.sum()}/{len(ok)}"
+
+    def test_mixed_sync_normal(self):
+        """Pilot-hypothesis selection: a stream mixing SYNC and SCH/F
+        bursts equalizes each slot with its own training sequence."""
+        slots = []
+        kinds = []
+        for s in range(8):
+            if s % 3 == 0:
+                slots.append(tx.make_sync_burst(
+                    testpdu.make_sync_pdu(mcc=262, mnc=42, cc=1),
+                    testpdu.make_sysinfo_pdu(),
+                    testpdu.make_access_assign_bits(), jnp.uint32(INIT)))
+                kinds.append(0)
+            else:
+                slots.append(tx.make_schf_burst(
+                    testpdu.make_resource_pdu(ssi=0x700 + s),
+                    testpdu.make_access_assign_bits(), jnp.uint32(INIT)))
+                kinds.append(1)
+        bits = np.concatenate([np.zeros(64, np.int8),
+                               np.concatenate(slots).astype(np.int8),
+                               np.zeros(64, np.int8)])
+        iq = np.asarray(dqpsk.modulate(bits[None], sps=2))[0]
+        h = np.array([1.0, 0.25 * np.exp(1j * 0.7)], np.complex64)
+        faded = np.convolve(iq, h)[: iq.shape[0]]
+        out = steady.locked_step_ri(
+            jnp.asarray(np.real(faded)[None].astype(np.float32)),
+            jnp.asarray(np.imag(faded)[None].astype(np.float32)),
+            jnp.asarray(np.full(1, INIT, np.uint32)),
+            phase_bit=64, n_slots=8, decoders=("fused",), fast="eq")
+        ok = np.asarray(out["crc_ok"])[0]
+        got_kinds = np.asarray(out["kinds"])[0]
+        np.testing.assert_array_equal(got_kinds, kinds)
+        assert ok.all(), f"{ok.sum()}/{len(ok)}"

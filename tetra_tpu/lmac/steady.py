@@ -148,9 +148,11 @@ def locked_step_ri(re, im, inits, phase_bit: int = 0, sps: int = 2,
     (phy.demod_pallas — one HBM read per sample instead of half a dozen
     [C, T] intermediates); fast="slotwise" adds per-slot timing re-pick
     + blind residual-CFO correction for degraded signals (CFO ramps,
-    sample-clock drift — dqpsk.demodulate_hard_slotwise_ri).
+    sample-clock drift — dqpsk.demodulate_hard_slotwise_ri);
+    fast="eq" additionally fits a per-slot pilot-aided T/2-spaced
+    equalizer for multipath channels (phy.equalize).
     """
-    if fast in ("slotwise", "soft"):
+    if fast in ("slotwise", "soft", "eq"):
         S = n_slots if n_slots is not None else \
             (re.shape[-1] * 2 // sps - phase_bit) // C.BITS_PER_TS
         if fast == "soft":
@@ -167,9 +169,15 @@ def locked_step_ri(re, im, inits, phase_bit: int = 0, sps: int = 2,
                 kinds, soft_input=True)
             out["bits"] = hard.reshape(*hard.shape[:-2], S * C.BITS_PER_TS)
             return out
-        slots = dqpsk.demodulate_hard_slotwise_ri(re, im, S,
-                                                  phase_bit=phase_bit,
-                                                  sps=sps)
+        if fast == "eq":
+            from tetra_tpu.phy.equalize import demodulate_hard_eq_slotwise_ri
+            slots = demodulate_hard_eq_slotwise_ri(re, im, S,
+                                                   phase_bit=phase_bit,
+                                                   sps=sps)
+        else:
+            slots = dqpsk.demodulate_hard_slotwise_ri(re, im, S,
+                                                      phase_bit=phase_bit,
+                                                      sps=sps)
         out = locked_step_bits(slots, inits, decoders=decoders)
         out["bits"] = slots.reshape(*slots.shape[:-2], S * C.BITS_PER_TS)
         return out
