@@ -144,6 +144,32 @@ def _resample_ri_one(x, n_in: int, fs: float, out_rate: float,
     return jnp.einsum("...nw,nw->...n", x[..., gather], coefs)
 
 
+def _resample_rows_ri(x, n_in: int, fs: float, out_rate: float,
+                      skew: float = 0.0):
+    """Polyphase resample over the ROW axis of time-major [M, C] data
+    (the fused PFB kernel's natural layout): same block plan and
+    coefficients as _resample_ri_one, but the window gather becomes
+    contiguous row-block slices and the per-channel transpose moves to
+    AFTER decimation (36 kHz rate instead of the 50 kHz channel rate).
+    Requires a rational fs/out_rate (always true for the PFB path)."""
+    plan = _resample_block_plan(n_in, fs, out_rate, skew=skew)
+    assert plan is not None, "row resampler requires a rational ratio"
+    W, bmin, width, L, M, n_out, pad_l = plan
+    if n_out == 0:
+        return x[:0]
+    nq = -(-n_out // M)
+    need = pad_l + (nq - 1) * L + bmin + width
+    pad_r = max(need - pad_l - n_in, 0)
+    xp = jnp.pad(x, ((pad_l, pad_r), (0, 0)), mode="edge")
+    idx = ((jnp.arange(nq) * L)[:, None] + (pad_l + bmin)
+           + jnp.arange(width)[None, :])                    # [nq, width]
+    blocks = xp[idx]                                        # [nq, w, C]
+    out = jnp.einsum("qwc,wr->qrc", blocks, jnp.asarray(W),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(nq * M, x.shape[-1])[:n_out]
+
+
 @functools.partial(jax.jit, static_argnames=("fs", "out_rate", "ntaps"))
 def channelize_ri(re, im, offsets_hz, fs: float, out_rate: float = DEMOD_RATE,
                   ntaps: int = 127):

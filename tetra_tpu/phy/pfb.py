@@ -122,19 +122,36 @@ def pfb_to_demod_rate_ri(re, im, channel_idx, n_chan: int, fs: float,
 
     channel_idx: [Csel] int32 PFB channel numbers. Returns
     (out_re [Csel, T_out], out_im).
+
+    On TPU the channelizer runs as the fused Pallas kernel
+    (phy.pfb_pallas) in its natural time-major layout and the resampler
+    consumes rows directly, so the only [C, ·] transpose happens on the
+    decimated 36 kHz product; off-TPU the XLA channel-major path runs
+    (identical coefficients, matmul-rounding-level differences).
     """
-    cr, ci = pfb_channelize_ri(re, im, n_chan, taps_per_branch)
-    cr = jnp.take(cr, channel_idx, axis=0)
-    ci = jnp.take(ci, channel_idx, axis=0)
     chan_rate = 2.0 * fs / n_chan
-    m = cr.shape[-1]
     # compensate the prototype's group delay: channel frame m holds input
     # time (mH + (JC-1)/2)/fs, so the sample for output time t sits at
     # t*chan_rate - (JC-1)/(2H). The first ~|skew|/ratio outputs fall
     # before the stream start and are garbage (inside any demod margin).
     hop = n_chan // 2
     skew = -(n_chan * taps_per_branch - 1) / (2.0 * hop)
-    from tetra_tpu.phy.channelizer import _resample_ri_one
+    from tetra_tpu.phy.channelizer import _resample_ri_one, _resample_rows_ri
+    from tetra_tpu.phy.channelizer import _resample_block_plan
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if (on_tpu and re.ndim == 1
+            and _resample_block_plan(8, chan_rate, out_rate) is not None):
+        from tetra_tpu.phy.pfb_pallas import (pfb_channelize_rows_pallas,
+                                              resample_rows_pallas)
+        yr, yi = pfb_channelize_rows_pallas(re, im, n_chan, taps_per_branch)
+        out_r, out_i = resample_rows_pallas(yr, yi, chan_rate, out_rate,
+                                            skew=skew)
+        return (jnp.take(out_r.T, channel_idx, axis=0),
+                jnp.take(out_i.T, channel_idx, axis=0))
+    cr, ci = pfb_channelize_ri(re, im, n_chan, taps_per_branch)
+    cr = jnp.take(cr, channel_idx, axis=0)
+    ci = jnp.take(ci, channel_idx, axis=0)
+    m = cr.shape[-1]
     out_r = _resample_ri_one(cr, m, chan_rate, out_rate, skew=skew)
     out_i = _resample_ri_one(ci, m, chan_rate, out_rate, skew=skew)
     return out_r, out_i
