@@ -137,9 +137,12 @@ class TestFusedVsReference:
                     np.asarray(got[gname].type1)[i], err_msg=f"{rname}[{i}]")
                 assert bool(np.asarray(ref[rname].crc_ok)[0, i]) == \
                     bool(np.asarray(got[gname].crc_ok)[i])
-            # locked_step_bits only exposes the sync-interpretation BBK;
-            # the fused path returns the kind-correct AACH, so compare
-            # against the per-kind pipeline decode
+            # BBK position is kind-dependent (tetra_burst.c:346-372);
+            # check both paths kind-select it identically, and against
+            # the per-kind pipeline decode as an independent oracle
+            np.testing.assert_array_equal(
+                np.asarray(ref["bbk"].type1)[0, i],
+                np.asarray(got["bbk"].type1)[i], err_msg=f"ref bbk[{i}]")
             kind_fn = {0: pipeline.decode_sync_burst,
                        1: pipeline.decode_schf_burst,
                        2: pipeline.decode_ndb_burst}[int(k)]

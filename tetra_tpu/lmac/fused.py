@@ -161,11 +161,85 @@ def _decode_segmented_auto(soft, rmask):
     return decode_segmented_pallas(soft, rmask, N_SYM, BOUNDARIES)
 
 
+def assemble_soft(slots, inits, kinds, soft_input: bool = False):
+    """Kind-masked FEC assembly: slots [..., 510] (+ broadcastable
+    scrambling codes + kinds) -> (soft [N, 1152], rm [N, 3], ks_cell).
+
+    Per-kind CONSTANT index maps -> static gathers (cheap copies) and
+    ONE one-hot matmul for the depuncture/deinterleave spread: the
+    three kinds' sign vectors are concatenated with inactive kinds
+    zeroed by the per-slot kind mask, so a single [N, 3*432] x
+    [3*432, 1152] product replaces three matmuls + two full-width
+    selects (each a ~0.5 GB HBM pass at bench batch sizes). Per-slot
+    dynamic gathers would lower to real TPU gathers and dominate.
+
+    Two measured refinements (tools/profile_chain_stages.py):
+    - the keystream matmul + its gathers run on the UN-broadcast inits
+      shape (normally [carriers, 1]) and broadcast lazily into the XOR,
+      not per slot — the [N, 432] float32 GF(2) product was ~1/3 of the
+      assembly stage;
+    - on TPU the hard path uses an int8 {0, ±1} alphabet end-to-end:
+      P's one-hot rows make every soft output a single product, exact
+      in int8, and branch metrics scale-invariantly reproduce the ±127
+      alphabet's decisions (s8 MXU issue rate is 2x bf16, and the soft
+      tensor + its kernel-layout transpose halve again vs bf16).
+    """
+    batch = slots.shape[:-1]
+    N = int(np.prod(batch)) if batch else 1
+    in_dtype = jnp.float32 if soft_input else jnp.int8
+    slots_b = slots.astype(in_dtype)
+    inits_b = jnp.asarray(inits, jnp.uint32)   # broadcastable to batch
+    kinds_b = jnp.broadcast_to(kinds, batch)
+    k = jnp.clip(kinds_b, 0, 2)
+
+    sel_slot, sel_ks, P, rmask_t, bbk_pidx, ks_fixed = _maps()
+    ks_cell = scramble.keystream(inits_b, _KS_CELL)   # [inits_shape, 432]
+    ksv = jnp.concatenate([
+        ks_cell,
+        jnp.broadcast_to(jnp.asarray(ks_fixed), ks_cell.shape[:-1] + (120,)),
+        jnp.zeros(ks_cell.shape[:-1] + (1,), jnp.int8)], axis=-1)
+    srcv = jnp.concatenate(
+        [slots_b, jnp.zeros(batch + (1,), in_dtype)], axis=-1)
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    dt = jnp.int8 if (on_tpu and not soft_input) else pipeline_mod._mm_dtype()
+    one = 1 if dt == jnp.int8 else 127
+    parts = []
+    for kk in range(3):
+        ks_k = jnp.take(ksv, jnp.asarray(sel_ks[kk]), axis=-1)
+        src_k = jnp.take(srcv, jnp.asarray(sel_slot[kk]), axis=-1)
+        mask = (k == kk)[..., None]
+        if soft_input:
+            # descramble = sign flip; amplitudes carried through
+            sgn = jnp.where(mask, src_k * (1 - 2 * ks_k.astype(jnp.float32)),
+                            0.0).astype(dt)
+        else:
+            sgn = jnp.where(mask, 1 - 2 * (src_k ^ ks_k).astype(jnp.int8),
+                            0).astype(dt)
+        parts.append(jnp.broadcast_to(sgn, batch + sgn.shape[-1:]))
+    P_all = jnp.asarray(np.concatenate(P, axis=0) if one == 127 else
+                        (np.concatenate(P, axis=0) != 0), dt)  # [3L, 1152]
+    # int8 mode: P one-hot rows -> each output is ONE {0, ±1} product,
+    # exact in an s8 x s8 MXU pass emitted as bf16 (the Viterbi kernel's
+    # native soft dtype — emitting s8 and converting later costs an
+    # extra full-tensor pass); bf16 mode keeps the reference ±127
+    # alphabet (also exact); soft mode keeps f32 amplitudes
+    out_dt = (jnp.bfloat16 if dt == jnp.int8 else
+              jnp.float32 if (soft_input or dt == jnp.float32)
+              else jnp.bfloat16)
+    soft = jnp.dot(jnp.concatenate(parts, axis=-1).reshape(N, -1), P_all,
+                   preferred_element_type=out_dt)
+    rm = jnp.take(jnp.asarray(rmask_t), k, axis=0).reshape(N, 3)
+    return soft, rm, ks_cell
+
+
 @functools.partial(jax.jit, static_argnames=("soft_input",))
 def decode_slots_fused(slots, inits, kinds, soft_input: bool = False):
     """Mixed-kind batched lower MAC: slots [..., 510] + per-slot
-    scrambling codes [...] + classified kinds [...] (0 SYNC / 1 SCH/F /
-    2 NDB / -1 none, from steady.verify_train_seq) -> decoded blocks.
+    scrambling codes [...] (any shape broadcastable to the slot batch —
+    normally per-carrier [C, 1]) + classified kinds [...] (0 SYNC /
+    1 SCH/F / 2 NDB / -1 none, from steady.verify_train_seq) ->
+    decoded blocks.
 
     Returns the locked_step_bits result structure (sb1/sb2/bbk/schf/
     ndb1/ndb2 BlockResults + kinds + crc_ok) with ONE Viterbi pass per
@@ -181,47 +255,14 @@ def decode_slots_fused(slots, inits, kinds, soft_input: bool = False):
     N = int(np.prod(batch)) if batch else 1
     in_dtype = jnp.float32 if soft_input else jnp.int8
     slots_f = slots.reshape(N, C.BITS_PER_TS).astype(in_dtype)
-    inits_f = jnp.broadcast_to(inits, batch).reshape(N).astype(jnp.uint32)
-    kinds_f = kinds.reshape(N)
+    kinds_f = jnp.broadcast_to(kinds, batch).reshape(N)
     k = jnp.clip(kinds_f, 0, 2)
+    _, _, _, _, bbk_pidx, _ = _maps()
 
-    sel_slot, sel_ks, P, rmask_t, bbk_pidx, ks_fixed = _maps()
-    ks_cell = scramble.keystream(inits_f, _KS_CELL)            # [N, 432]
-    ksv = jnp.concatenate([
-        ks_cell,
-        jnp.broadcast_to(jnp.asarray(ks_fixed), (N, 120)),
-        jnp.zeros((N, 1), jnp.int8)], axis=-1)
-    srcv = jnp.concatenate([slots_f, jnp.zeros((N, 1), in_dtype)], axis=-1)
-
-    # per-kind CONSTANT index maps -> static gathers (cheap copies) and
-    # ONE one-hot matmul for the depuncture/deinterleave spread: the
-    # three kinds' sign vectors are concatenated with inactive kinds
-    # zeroed by the per-slot kind mask, so a single [N, 3*432] x
-    # [3*432, 1152] product replaces three matmuls + two full-width
-    # selects (each a ~0.5 GB HBM pass at bench batch sizes). Per-slot
-    # dynamic gathers would lower to real TPU gathers and dominate.
-    dt = pipeline_mod._mm_dtype()
-    parts = []
-    for kk in range(3):
-        ks_k = jnp.take(ksv, jnp.asarray(sel_ks[kk]), axis=-1)
-        src_k = jnp.take(srcv, jnp.asarray(sel_slot[kk]), axis=-1)
-        mask = (k == kk)[:, None]
-        if soft_input:
-            # descramble = sign flip; amplitudes carried through
-            sgn = jnp.where(mask, src_k * (1 - 2 * ks_k.astype(jnp.float32)),
-                            0.0).astype(dt)
-        else:
-            sgn = jnp.where(mask, 1 - 2 * (src_k ^ ks_k).astype(jnp.int8),
-                            0).astype(dt)
-        parts.append(sgn)
-    P_all = jnp.asarray(np.concatenate(P, axis=0), dt)         # [3L, 1152]
-    # hard mode: soft values are {±127, 0} — exact in bf16, which the
-    # Pallas decoder consumes natively (halves the transpose traffic);
-    # soft mode keeps f32 amplitudes
-    out_dt = jnp.float32 if (soft_input or dt == jnp.float32) else jnp.bfloat16
-    soft = jnp.dot(jnp.concatenate(parts, axis=-1), P_all,
-                   preferred_element_type=out_dt)
-    rm = jnp.take(jnp.asarray(rmask_t), k, axis=0)             # [N, 3]
+    soft, rm, ks_cell = assemble_soft(slots, inits, kinds,
+                                      soft_input=soft_input)
+    ks30 = jnp.broadcast_to(
+        ks_cell[..., :30], batch + (30,)).reshape(N, 30)
 
     bits = _decode_segmented_auto(soft, rm)                    # [N, 288]
 
@@ -243,7 +284,7 @@ def decode_slots_fused(slots, inits, kinds, soft_input: bool = False):
                else slots_f)
     bbk_sync = jnp.take(slots_h, jnp.asarray(bbk_pidx[0]), axis=-1)
     bbk_norm = jnp.take(slots_h, jnp.asarray(bbk_pidx[1]), axis=-1)
-    bbk_t4 = jnp.where((k == 0)[:, None], bbk_sync, bbk_norm) ^ ks_cell[:, :30]
+    bbk_t4 = jnp.where((k == 0)[:, None], bbk_sync, bbk_norm) ^ ks30
     bbk = BlockResult(bbk_t4[:, :14].reshape(*batch, 14),
                       jnp.ones(batch, bool), bbk_t4.reshape(*batch, 30))
 

@@ -110,22 +110,34 @@ def locked_step_bits(slots, inits, decoders: tuple = ("sync", "schf", "ndb")):
     out = {"kinds": kinds}
     false = jnp.zeros(kinds.shape, dtype=bool)
     ok_sync = ok_schf = ok_ndb = false
+    sync_bbk = norm_bbk = None
     if "sync" in decoders:
         sync = pipeline.decode_sync_burst(slots, inits_b)
-        out.update(sb1=sync["SB1"], sb2=sync["SB2"], bbk=sync["BBK"])
+        out.update(sb1=sync["SB1"], sb2=sync["SB2"])
+        sync_bbk = sync["BBK"]
         ok_sync = sync["SB1"].crc_ok & sync["SB2"].crc_ok
     if "schf" in decoders:
         schf = pipeline.decode_schf_burst(slots, inits_b)
         out["schf"] = schf["SCH_F"]
-        if "sync" not in decoders:
-            out["bbk"] = schf["BBK"]
+        norm_bbk = schf["BBK"]
         ok_schf = schf["SCH_F"].crc_ok
     if "ndb" in decoders:
         ndb = pipeline.decode_ndb_burst(slots, inits_b)
         out.update(ndb1=ndb["NDB1"], ndb2=ndb["NDB2"])
-        if "bbk" not in out:
-            out["bbk"] = ndb["BBK"]
+        if norm_bbk is None:
+            norm_bbk = ndb["BBK"]
         ok_ndb = ndb["NDB1"].crc_ok & ndb["NDB2"].crc_ok
+    # BBK position depends on the burst kind (tetra_burst.c:346-372:
+    # SB_BBK_OFFSET on sync bursts, NDB_BBK1/2 on normal bursts), so
+    # with mixed decoders the broadcast block must be kind-selected
+    if sync_bbk is not None and norm_bbk is not None:
+        is_sync = (kinds == 0)[..., None]
+        out["bbk"] = pipeline.BlockResult(
+            jnp.where(is_sync, sync_bbk.type1, norm_bbk.type1),
+            jnp.where(kinds == 0, sync_bbk.crc_ok, norm_bbk.crc_ok),
+            jnp.where(is_sync, sync_bbk.type2, norm_bbk.type2))
+    elif sync_bbk is not None or norm_bbk is not None:
+        out["bbk"] = sync_bbk if sync_bbk is not None else norm_bbk
     out["crc_ok"] = jnp.where(
         kinds == 0, ok_sync,
         jnp.where(kinds == 1, ok_schf, jnp.where(kinds == 2, ok_ndb, False)))

@@ -438,9 +438,12 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
     nb = len(boundaries)
     B = soft.shape[0]
     # bf16 soft inputs pass through untouched (the hard chain's ±127/0
-    # alphabet is bf16-exact; halves the transpose/VMEM traffic); any
-    # other dtype is promoted to f32
-    sdt = jnp.bfloat16 if soft.dtype == jnp.bfloat16 else jnp.float32
+    # alphabet is bf16-exact; halves the transpose/VMEM traffic); int8
+    # ({0, ±1} from the fused assembly's s8 matmul) converts to bf16 —
+    # also exact, and branch metrics are scale-invariant so decisions
+    # match the ±127 alphabet; any other dtype is promoted to f32
+    sdt = (jnp.bfloat16 if soft.dtype in (jnp.bfloat16, jnp.int8)
+           else jnp.float32)
     soft = soft[:, : n_sym * n_out].astype(sdt)
     rmask = rmask.astype(jnp.float32).reshape(B, nb)
     tile = min(tile_b, B)

@@ -95,6 +95,9 @@ class SyncCarry:
 
 def compute_match_map(bits, mask: int = 0x1F) -> np.ndarray:
     """[L, 5] train-sequence exact-match map via one device pass."""
+    bits = np.asarray(bits)
+    if bits.shape[-1] < 38:      # shorter than the longest template
+        return np.zeros(bits.shape[-1:] + (5,), bool)
     m = burst_mod.train_seq_match(jnp.asarray(bits, dtype=jnp.int8), mask)
     return np.asarray(m)
 
