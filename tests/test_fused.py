@@ -96,6 +96,25 @@ class TestSegmentedViterbi:
                 interpret=True, radix=radix))
             np.testing.assert_array_equal(rk, r2)
 
+    def test_packed_tiebreak_matches_unpacked(self):
+        """bf16 input routes radix-16 through the packed tie-break
+        (rank in the metric's low 4 bits); decisions must match the f32
+        compare+min path bit-for-bit on tie-heavy quantized data, for
+        both the {0,±127} and {0,±1} hard alphabets."""
+        rng = np.random.default_rng(10)
+        rmask = jnp.asarray(rng.integers(0, 2, size=(16, 3))
+                            .astype(np.float32))
+        for one in (127, 1):
+            vals = (rng.integers(-1, 2, size=(16, fused.N_MOTHER)) * one)
+            ref = np.asarray(decode_segmented_pallas(
+                jnp.asarray(vals.astype(np.float32)), rmask, fused.N_SYM,
+                fused.BOUNDARIES, tile_b=8, interpret=True))
+            packed = np.asarray(decode_segmented_pallas(
+                jnp.asarray(vals.astype(np.float32)).astype(jnp.bfloat16),
+                rmask, fused.N_SYM, fused.BOUNDARIES, tile_b=8,
+                interpret=True))
+            np.testing.assert_array_equal(packed, ref)
+
     def test_clean_roundtrip_segments(self):
         rng = np.random.default_rng(8)
         data = rng.integers(0, 2, size=(4, 288)).astype(np.int8)

@@ -188,30 +188,58 @@ def _tables16(generators):
 
 
 def _make_segmented_kernel16(n_sym: int, n_out: int, tile_b: int,
-                             boundaries: tuple):
+                             boundaries: tuple, packed: bool = False):
     """Radix-16 variant of _make_segmented_kernel4: quarters the serial
     ACS/traceback lengths AND removes the metric-selection matmul and
     the traceback matmul entirely (see _tables16). soft input
-    pre-reshaped to [n_sym/4, 4N, tile]."""
+    pre-reshaped to [n_sym/4, 4N, tile].
+
+    packed=True (integer soft alphabets only, |value| <= 127): the
+    tie-break rank is packed into the metric's low 4 bits — metrics are
+    stored pre-scaled by 16 (the sign table carries the x16), each
+    candidate row adds 15 - rev4(p), and ONE max then yields both the
+    winning metric and the tie-broken decision: c mod 16 = 15 - rank of
+    the winner, metric = c - (c mod 16). This deletes the second
+    full-candidate-tensor compare+min pass — ~the whole point, since the
+    ACS loop is VPU-bound on [16, 16, tile] passes. Exact: |16*m + 15|
+    <= 16*(2^19 + 288*4*127) + 15 < 2^24, every add an integer."""
     assert n_sym % 4 == 0 and all(b % 4 == 0 for b in boundaries)
     segs = tuple(s // 4 for s in (0,) + tuple(boundaries) + (n_sym,))
     nb = len(boundaries)
+    neg = np.float32(-(2 ** 19) * 16.0) if packed else _NEG
 
     def kernel(soft_ref, sgn_ref, rm_ref, bits_ref, dec_ref,
                metric_ref, bstate_ref):
         sgn = sgn_ref[:]            # [256, 4N]
         row = jax.lax.broadcasted_iota(jnp.int32, (16, tile_b), 0)
-        init = jnp.where(row == 0, 0.0, _NEG)
+        init = jnp.where(row == 0, 0.0, neg)
         metric_ref[:] = init
-        # tie-break rank per candidate row: rev4(p), from a 3-D iota
-        p3 = jax.lax.broadcasted_iota(jnp.int32, (16, 16, tile_b), 0)
-        rank3 = (((p3 & 1) << 3) | ((p3 & 2) << 1)
-                 | ((p3 & 4) >> 1) | ((p3 & 8) >> 3)).astype(jnp.float32)
+        # rev4 of the row index (traceback prev, packed-mode rank term)
+        rev_row0 = (jnp.bitwise_or(
+            jnp.bitwise_or((row & 1) << 3, (row & 2) << 1),
+            jnp.bitwise_or((row & 4) >> 1, (row & 8) >> 3))
+        ).astype(jnp.float32)                                   # [16, tile]
+        if not packed:
+            # tie-break rank per candidate row: rev4(p), from a 3-D iota
+            p3 = jax.lax.broadcasted_iota(jnp.int32, (16, 16, tile_b), 0)
+            rank3 = (((p3 & 1) << 3) | ((p3 & 2) << 1)
+                     | ((p3 & 4) >> 1) | ((p3 & 8) >> 3)).astype(jnp.float32)
 
         def acs_step(t, _):
             sym4 = soft_ref[pl.ds(t, 1)][0]                     # [4N, tile]
             bm = jnp.dot(sgn, sym4, preferred_element_type=jnp.float32)
             m = metric_ref[:]                                   # [16, tile]
+            if packed:
+                # candidate p carries its metric in bits >=4 and its
+                # tie-break key 15 - rev4(p) in the low 4 bits
+                c = (bm.reshape(16, 16, tile_b)
+                     + (m + (15.0 - rev_row0))[:, None, :])     # [p, ns, t]
+                best = jnp.max(c, axis=0)                       # [16, tile]
+                q = jnp.floor(best * 0.0625) * 16.0
+                dec_ref[pl.ds(t, 1), :, :] = \
+                    (15.0 - (best - q)).astype(jnp.int8)[None]
+                metric_ref[:] = q
+                return 0
             # candidate p contributes m[p] to all 16 of its rows
             c = (bm.reshape(16, 16, tile_b) + m[:, None, :])    # [p, ns, t]
             best = jnp.max(c, axis=0)                           # [16, tile]
@@ -239,9 +267,7 @@ def _make_segmented_kernel16(n_sym: int, n_out: int, tile_b: int,
         onehot = onehot_best(metric_ref[:])
         rowf = row.astype(jnp.float32)
         # rev4 of the row index, for prev = rev4(j) as an iota compare
-        rev_row = (jnp.bitwise_or(
-            jnp.bitwise_or((row & 1) << 3, (row & 2) << 1),
-            jnp.bitwise_or((row & 4) >> 1, (row & 8) >> 3))).astype(jnp.float32)
+        rev_row = rev_row0
 
         def tb_step(t, onehot):
             # current state's 4 LSBs are the 4 bits of this fused step
@@ -460,11 +486,16 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
 
     if use_r16:
         sgn16, rank = _tables16(generators)
+        # packed tie-break needs integer metrics: guaranteed by the
+        # hard chains' bf16 {0,±1}/{0,±127} alphabets (see sdt above);
+        # f32 inputs carry arbitrary soft amplitudes and keep the
+        # compare+min tie-break
+        packed = sdt == jnp.bfloat16
         # [T/4, 4N, B]: four consecutive symbols per row
         soft_tm = jnp.transpose(
             soft.reshape(Bp, n_sym // 4, 4 * n_out), (1, 2, 0))
         kernel = _make_segmented_kernel16(n_sym, n_out, tile,
-                                          tuple(boundaries))
+                                          tuple(boundaries), packed=packed)
         in_specs = [
             pl.BlockSpec((n_sym // 4, 4 * n_out, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
@@ -473,7 +504,8 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
             pl.BlockSpec((max(nb, 1), tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ]
-        consts = (jnp.asarray(sgn16).astype(sdt),)
+        # packed mode pre-scales metrics by 16 through the sign table
+        consts = (jnp.asarray(sgn16 * (16.0 if packed else 1.0)).astype(sdt),)
         dec_scratch = pltpu.VMEM((n_sym // 4, 16, tile), jnp.int8)
     elif use_r4:
         sgn, psel, tbT, sb0, sb1 = _tables4(generators)
