@@ -97,8 +97,9 @@ class TestSegmentedViterbi:
             np.testing.assert_array_equal(rk, r2)
 
     def test_packed_tiebreak_matches_unpacked(self):
-        """bf16 input routes radix-16 through the packed tie-break
-        (rank in the metric's low 4 bits); decisions must match the f32
+        """bf16/int8 inputs route radix-16 through the packed tie-break
+        (rank in the metric's low 4 bits; int8 additionally runs the
+        s8 ACS matmul with int32 metrics); decisions must match the f32
         compare+min path bit-for-bit on tie-heavy quantized data, for
         both the {0,±127} and {0,±1} hard alphabets."""
         rng = np.random.default_rng(10)
@@ -114,6 +115,11 @@ class TestSegmentedViterbi:
                 rmask, fused.N_SYM, fused.BOUNDARIES, tile_b=8,
                 interpret=True))
             np.testing.assert_array_equal(packed, ref)
+            if one == 1:
+                p8 = np.asarray(decode_segmented_pallas(
+                    jnp.asarray(vals.astype(np.int8)), rmask, fused.N_SYM,
+                    fused.BOUNDARIES, tile_b=8, interpret=True))
+                np.testing.assert_array_equal(p8, ref)
 
     def test_clean_roundtrip_segments(self):
         rng = np.random.default_rng(8)

@@ -220,11 +220,11 @@ def assemble_soft(slots, inits, kinds, soft_input: bool = False):
     P_all = jnp.asarray(np.concatenate(P, axis=0) if one == 127 else
                         (np.concatenate(P, axis=0) != 0), dt)  # [3L, 1152]
     # int8 mode: P one-hot rows -> each output is ONE {0, ±1} product,
-    # exact in an s8 x s8 MXU pass emitted as bf16 (the Viterbi kernel's
-    # native soft dtype — emitting s8 and converting later costs an
-    # extra full-tensor pass); bf16 mode keeps the reference ±127
-    # alphabet (also exact); soft mode keeps f32 amplitudes
-    out_dt = (jnp.bfloat16 if dt == jnp.int8 else
+    # exact in an s8 x s8 -> s8 MXU pass, consumed natively by the
+    # int8 radix-16 Viterbi kernel (half the transpose/VMEM traffic of
+    # bf16, 2x the ACS matmul rate); bf16 mode keeps the reference
+    # ±127 alphabet (also exact); soft mode keeps f32 amplitudes
+    out_dt = (jnp.int8 if dt == jnp.int8 else
               jnp.float32 if (soft_input or dt == jnp.float32)
               else jnp.bfloat16)
     soft = jnp.dot(jnp.concatenate(parts, axis=-1).reshape(N, -1), P_all,

@@ -202,24 +202,34 @@ def _make_segmented_kernel16(n_sym: int, n_out: int, tile_b: int,
     the winner, metric = c - (c mod 16). This deletes the second
     full-candidate-tensor compare+min pass — ~the whole point, since the
     ACS loop is VPU-bound on [16, 16, tile] passes. Exact: |16*m + 15|
-    <= 16*(2^19 + 288*4*127) + 15 < 2^24, every add an integer."""
+    <= 16*(2^19 + 288*4*127) + 15 < 2^24, every add an integer.
+
+    int8 soft input (implies packed): the ACS matmul runs s8 x s8 ->
+    s32 (2x the MXU issue rate of bf16, half the soft VMEM/transpose
+    traffic) and metrics stay int32, where the rank unpack is two
+    bitwise ops (& -16 floors toward -inf in two's complement, exactly
+    like the f32 floor)."""
     assert n_sym % 4 == 0 and all(b % 4 == 0 for b in boundaries)
     segs = tuple(s // 4 for s in (0,) + tuple(boundaries) + (n_sym,))
     nb = len(boundaries)
-    neg = np.float32(-(2 ** 19) * 16.0) if packed else _NEG
 
     def kernel(soft_ref, sgn_ref, rm_ref, bits_ref, dec_ref,
                metric_ref, bstate_ref):
+        int_in = soft_ref.dtype == jnp.int8
+        packed_k = packed or int_in
+        mdt = jnp.int32 if int_in else jnp.float32
+        neg = (mdt(-(2 ** 27)) if int_in else
+               np.float32(-(2 ** 19) * 16.0) if packed_k else _NEG)
         sgn = sgn_ref[:]            # [256, 4N]
         row = jax.lax.broadcasted_iota(jnp.int32, (16, tile_b), 0)
-        init = jnp.where(row == 0, 0.0, neg)
+        init = jnp.where(row == 0, mdt(0), neg)
         metric_ref[:] = init
         # rev4 of the row index (traceback prev, packed-mode rank term)
-        rev_row0 = (jnp.bitwise_or(
+        rev_row_i = (jnp.bitwise_or(
             jnp.bitwise_or((row & 1) << 3, (row & 2) << 1),
-            jnp.bitwise_or((row & 4) >> 1, (row & 8) >> 3))
-        ).astype(jnp.float32)                                   # [16, tile]
-        if not packed:
+            jnp.bitwise_or((row & 4) >> 1, (row & 8) >> 3)))    # [16, tile]
+        rev_row0 = rev_row_i.astype(jnp.float32)
+        if not packed_k:
             # tie-break rank per candidate row: rev4(p), from a 3-D iota
             p3 = jax.lax.broadcasted_iota(jnp.int32, (16, 16, tile_b), 0)
             rank3 = (((p3 & 1) << 3) | ((p3 & 2) << 1)
@@ -227,9 +237,17 @@ def _make_segmented_kernel16(n_sym: int, n_out: int, tile_b: int,
 
         def acs_step(t, _):
             sym4 = soft_ref[pl.ds(t, 1)][0]                     # [4N, tile]
-            bm = jnp.dot(sgn, sym4, preferred_element_type=jnp.float32)
+            bm = jnp.dot(sgn, sym4, preferred_element_type=mdt)
             m = metric_ref[:]                                   # [16, tile]
-            if packed:
+            if int_in:
+                c = (bm.reshape(16, 16, tile_b)
+                     + (m + (15 - rev_row_i))[:, None, :])      # [p, ns, t]
+                best = jnp.max(c, axis=0)                       # [16, tile]
+                dec_ref[pl.ds(t, 1), :, :] = \
+                    (15 - (best & 15)).astype(jnp.int8)[None]
+                metric_ref[:] = best & -16
+                return 0
+            if packed_k:
                 # candidate p carries its metric in bits >=4 and its
                 # tie-break key 15 - rev4(p) in the low 4 bits
                 c = (bm.reshape(16, 16, tile_b)
@@ -261,7 +279,7 @@ def _make_segmented_kernel16(n_sym: int, n_out: int, tile_b: int,
                 m = metric_ref[:]
                 bstate_ref[k - 1] = onehot_best(m)
                 r = rm_ref[pl.ds(k - 1, 1)]
-                metric_ref[:] = m * (1.0 - r) + init * r
+                metric_ref[:] = jnp.where(r > 0.0, init, m)
             jax.lax.fori_loop(segs[k], segs[k + 1], acs_step, 0)
 
         onehot = onehot_best(metric_ref[:])
@@ -463,12 +481,19 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
     n_out = len(generators)
     nb = len(boundaries)
     B = soft.shape[0]
-    # bf16 soft inputs pass through untouched (the hard chain's ±127/0
-    # alphabet is bf16-exact; halves the transpose/VMEM traffic); int8
-    # ({0, ±1} from the fused assembly's s8 matmul) converts to bf16 —
-    # also exact, and branch metrics are scale-invariant so decisions
-    # match the ±127 alphabet; any other dtype is promoted to f32
-    sdt = (jnp.bfloat16 if soft.dtype in (jnp.bfloat16, jnp.int8)
+    use_r16 = (radix >= 16 and n_sym % 4 == 0
+               and all(b % 4 == 0 for b in boundaries))
+    use_r4 = (not use_r16 and radix >= 4 and n_sym % 2 == 0
+              and all(b % 2 == 0 for b in boundaries))
+    # int8 soft ({0, ±1} from the fused assembly's s8 matmul) feeds the
+    # radix-16 kernel natively: s8 x s8 -> s32 ACS matmul at 2x the bf16
+    # MXU rate, half the transpose/VMEM traffic, int32 metrics. bf16
+    # inputs pass through untouched (the hard chain's ±127/0 alphabet is
+    # bf16-exact); branch metrics are scale-invariant across the integer
+    # alphabets so decisions are identical. Any other dtype (arbitrary
+    # soft amplitudes) promotes to f32.
+    sdt = (jnp.int8 if (soft.dtype == jnp.int8 and use_r16) else
+           jnp.bfloat16 if soft.dtype in (jnp.bfloat16, jnp.int8)
            else jnp.float32)
     soft = soft[:, : n_sym * n_out].astype(sdt)
     rmask = rmask.astype(jnp.float32).reshape(B, nb)
@@ -479,18 +504,14 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
         rmask = jnp.pad(rmask, ((0, pad), (0, 0)))
     Bp = soft.shape[0]
     rm_t = rmask.T  # [nb, Bp]
-    use_r16 = (radix >= 16 and n_sym % 4 == 0
-               and all(b % 4 == 0 for b in boundaries))
-    use_r4 = (not use_r16 and radix >= 4 and n_sym % 2 == 0
-              and all(b % 2 == 0 for b in boundaries))
 
     if use_r16:
         sgn16, rank = _tables16(generators)
         # packed tie-break needs integer metrics: guaranteed by the
-        # hard chains' bf16 {0,±1}/{0,±127} alphabets (see sdt above);
-        # f32 inputs carry arbitrary soft amplitudes and keep the
-        # compare+min tie-break
-        packed = sdt == jnp.bfloat16
+        # hard chains' int8/bf16 alphabets (see sdt above); f32 inputs
+        # carry arbitrary soft amplitudes and keep the compare+min
+        # tie-break
+        packed = sdt != jnp.float32
         # [T/4, 4N, B]: four consecutive symbols per row
         soft_tm = jnp.transpose(
             soft.reshape(Bp, n_sym // 4, 4 * n_out), (1, 2, 0))
@@ -505,6 +526,7 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
                          memory_space=pltpu.VMEM),
         ]
         # packed mode pre-scales metrics by 16 through the sign table
+        # (±16 fits int8 exactly)
         consts = (jnp.asarray(sgn16 * (16.0 if packed else 1.0)).astype(sdt),)
         dec_scratch = pltpu.VMEM((n_sym // 4, 16, tile), jnp.int8)
     elif use_r4:
@@ -565,7 +587,8 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
         out_shape=jax.ShapeDtypeStruct((n_sym, 1, Bp), jnp.int8),
         scratch_shapes=[
             dec_scratch,
-            pltpu.VMEM((16, tile), jnp.float32),
+            pltpu.VMEM((16, tile),
+                       jnp.int32 if sdt == jnp.int8 else jnp.float32),
             pltpu.VMEM((max(nb, 1), 16, tile), jnp.float32),
         ],
         interpret=interpret,
