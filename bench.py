@@ -192,23 +192,52 @@ def main():
                                   np.tile(iq_ing.imag, (C_ING, 1)) * 0.7)
     init_ing = np.full(C_ING, init, np.uint32)
 
+    # one stacked array per chunk (one transfer RPC), scrambling codes
+    # put once via static=, ONE batched device_get at the end — each
+    # per-item int() would cost a device round-trip and stall the
+    # put/compute overlap (see stream.stream_map transfer-economy notes)
+    iq8_ing = np.stack([re8, im8])                     # [2, C, T] int8
+
     @jax.jit
-    def ingest_step(c):
-        re, im = stream.dequantize_iq(c["re"], c["im"])
-        out = steady.locked_step_ri(re, im, c["init"], phase_bit=64,
+    def ingest_step(init_d, c):
+        re, im = stream.dequantize_iq(c[0], c[1])
+        out = steady.locked_step_ri(re, im, init_d, phase_bit=64,
                                     n_slots=SLOTS_ING, fast="pallas",
                                     decoders=("fused",))
         return out["crc_ok"].astype(jnp.int32).sum()
 
-    chunks = [{"re": re8, "im": im8, "init": init_ing}] * NCHUNK
+    chunks = [iq8_ing] * NCHUNK
     ingest_samples = NCHUNK * C_ING * iq_ing.shape[-1]
 
     def run_ingest():
-        return [int(o) for o in stream.stream_map(ingest_step, chunks)]
+        outs = list(stream.stream_map(ingest_step, chunks, static=init_ing))
+        return jax.device_get(outs)
 
     t_ing = _median_time(run_ingest, reps=3)
     ingest_samples_per_s = ingest_samples / t_ing
     ingest_carriers = ingest_samples_per_s / 36000.0
+
+    # packed 4+4-bit IQ: one byte per complex sample, half the link
+    # bytes — the right format when the h2d link bounds carrier count
+    iq4_ing = stream.quantize_iq4(np.tile(iq_ing.real, (C_ING, 1)) * 0.7,
+                                  np.tile(iq_ing.imag, (C_ING, 1)) * 0.7)
+
+    @jax.jit
+    def ingest4_step(init_d, c):
+        re, im = stream.dequantize_iq4(c)
+        out = steady.locked_step_ri(re, im, init_d, phase_bit=64,
+                                    n_slots=SLOTS_ING, fast="pallas",
+                                    decoders=("fused",))
+        return out["crc_ok"].astype(jnp.int32).sum()
+
+    def run_ingest4():
+        outs = list(stream.stream_map(ingest4_step, [iq4_ing] * NCHUNK,
+                                      static=init_ing))
+        return jax.device_get(outs)
+
+    t_ing4 = _median_time(run_ingest4, reps=3)
+    ingest4_samples_per_s = ingest_samples / t_ing4
+    ingest4_carriers = ingest4_samples_per_s / 36000.0
 
     # ---- stage 7: control plane (host): native executor slots/s ----
     cp_slots_per_s = cp_py_slots_per_s = None
@@ -270,6 +299,8 @@ def main():
         "h2d_gbps_cold": round(h2d_gbps_cold, 2),
         "ingest_msamples_per_s": round(ingest_samples_per_s / 1e6, 1),
         "ingest_realtime_carriers": round(ingest_carriers, 1),
+        "ingest4_msamples_per_s": round(ingest4_samples_per_s / 1e6, 1),
+        "ingest4_realtime_carriers": round(ingest4_carriers, 1),
         "controlplane_native_slots_per_s": (
             round(cp_slots_per_s, 1) if cp_slots_per_s else None),
         "controlplane_native_carriers": (

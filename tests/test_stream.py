@@ -62,3 +62,31 @@ class TestQuantizedIngest:
         out = outs[0]
         assert int(np.asarray(out["kinds"])[0, 0]) == 1
         assert bool(np.asarray(out["crc_ok"])[0, 0])
+
+    def test_int4_packed_iq_roundtrip_decodes(self):
+        """One byte per complex sample (4+4-bit nibbles): the minimum-
+        bandwidth ingest format must still decode CRC-clean, and the
+        static= pre-put path must match per-chunk inits."""
+        burst = tx.make_schf_burst(testpdu.make_resource_pdu(ssi=0x402),
+                                   testpdu.make_access_assign_bits(),
+                                   jnp.uint32(INIT))
+        from tetra_tpu.phy import dqpsk
+        bits = np.concatenate([np.zeros(64, np.int8), np.asarray(burst),
+                               np.zeros(64, np.int8)])
+        iq = np.asarray(dqpsk.modulate(bits[None], sps=2))[0]
+        packed = stream.quantize_iq4(iq.real * 0.7, iq.imag * 0.7)
+        # host-side unpack agrees with the quantizer
+        re, im = stream.dequantize_iq4(jnp.asarray(packed))
+        assert float(jnp.max(jnp.abs(re))) <= 1.0
+
+        @jax.jit
+        def step(init_d, c):
+            re, im = stream.dequantize_iq4(c)
+            return steady.locked_step_ri(re, im, init_d, phase_bit=64,
+                                         n_slots=1, decoders=("fused",))
+
+        outs = list(stream.stream_map(
+            step, [packed[None]], static=np.asarray([INIT], np.uint32)))
+        out = outs[0]
+        assert int(np.asarray(out["kinds"])[0, 0]) == 1
+        assert bool(np.asarray(out["crc_ok"])[0, 0])
