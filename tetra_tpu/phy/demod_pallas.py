@@ -72,7 +72,7 @@ def _make_kernel(tc: int, tb: int, sps: int, K: int, T: int):
 
         def fir(xl, xc, xr):
             win = jnp.concatenate(
-                [xl[:, tb - halo_l:], xc[:], xr[:, :halo_r]], axis=1)
+                [xl[:, 2 * _SUB - halo_l:], xc[:], xr[:, :halo_r]], axis=1)
             win = jnp.where(valid, win, 0.0)
             subs = [jnp.dot(win[:, m * _SUB: m * _SUB + _SUB + K - 1], band,
                             preferred_element_type=jnp.float32)
@@ -115,7 +115,7 @@ def _make_kernel(tc: int, tb: int, sps: int, K: int, T: int):
 @functools.partial(jax.jit,
                    static_argnames=("sps", "tile_c", "tile_t", "interpret"))
 def demodulate_hard_ri_pallas(re, im, sps: int = 2, tile_c: int = 256,
-                              tile_t: int = 256,
+                              tile_t: int = 512,
                               interpret: bool | None = None):
     """Planar baseband [C, T] f32 -> hard ubits [C, 2·(T//sps)].
 
@@ -133,9 +133,11 @@ def demodulate_hard_ri_pallas(re, im, sps: int = 2, tile_c: int = 256,
     K = len(taps)
     C, T = re.shape
     n_sym = T // sps
-    # the left halo is _SUB + K//2 < 2·_SUB lanes of the previous block,
-    # so blocks must span at least two sub-blocks
+    # the left halo is _SUB + K//2 < 2·_SUB lanes of the previous
+    # block, so blocks must span at least two sub-blocks (and a whole
+    # number of them, for the halo views' index arithmetic)
     tb = max(2 * _SUB, min(tile_t, -(-T // _SUB) * _SUB))
+    tb = -(-tb // (2 * _SUB)) * (2 * _SUB)
     n_blk = -(-T // tb)
     tc = min(tile_c, C)
     pc = (-C) % tc
@@ -147,14 +149,28 @@ def demodulate_hard_ri_pallas(re, im, sps: int = 2, tile_c: int = 256,
                              tuple(np.asarray(taps).tolist())))
 
     kernel, W = _make_kernel(tc, tb, sps, K, T)
-    nb = n_blk  # captured below; index maps clamp the halo views
 
-    def view(off):
-        def imap(i, j):
-            return (i, jnp.clip(j + off, 0, nb - 1))
-        return pl.BlockSpec((tc, tb), imap, memory_space=pltpu.VMEM)
+    # overlap-save halo views: the left halo needs the previous block's
+    # last _SUB + K//2 lanes and the right the next block's first
+    # K-1-K//2 — fixed 2·_SUB / _SUB wide tiles regardless of tb, so
+    # HBM read traffic is (tb + 3·_SUB)/tb of the input instead of the
+    # 3x that full prev/cur/next block views cost. Clamped out-of-range
+    # tiles carry garbage that the kernel's global-index mask zeroes.
+    assert K - 1 <= _SUB and tb % (2 * _SUB) == 0
+    n128 = -(-T // _SUB)             # array extent in _SUB-lane tiles
+    n256 = -(-T // (2 * _SUB))       # ... and in 2·_SUB-lane tiles
+    rl, rr = tb // (2 * _SUB), tb // _SUB
 
-    plane_specs = [view(-1), view(0), view(+1)]
+    def halo(width_tiles, imap):
+        return pl.BlockSpec((tc, width_tiles * _SUB), imap,
+                            memory_space=pltpu.VMEM)
+
+    plane_specs = [
+        halo(2, lambda i, j: (i, jnp.clip(j * rl - 1, 0, n256 - 1))),
+        pl.BlockSpec((tc, tb), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        halo(1, lambda i, j: (i, jnp.clip((j + 1) * rr, 0, n128 - 1))),
+    ]
     pk, met = pl.pallas_call(
         kernel,
         grid=(Cp // tc, n_blk),
