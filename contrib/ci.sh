@@ -25,3 +25,9 @@ fi
 
 python -m tetra_tpu.selftest
 python -m pytest tests/ -q
+
+# the suite above runs Pallas kernels in interpret mode; when a TPU is
+# attached, also validate the Mosaic-compiled kernels bit-exactly
+if python -c 'import jax, sys; sys.exit(jax.default_backend() not in ("tpu", "axon"))' 2>/dev/null; then
+  python tools/tpu_smoke.py
+fi
