@@ -104,6 +104,35 @@ def _maps():
     return sel_slot, sel_ks, P, rmask, bbk, ks_fixed
 
 
+_SLOT_W = 512                 # slot vector padded to a lane-tile multiple
+
+
+@functools.lru_cache(maxsize=1)
+def _maps_planes():
+    """Gather-free assembly tables: the slot-position gather sel_slot is
+    COMPOSED into the spread matrix, so the per-slot work is pure
+    elementwise XOR/select plus one matmul.
+
+    P2[k, p, m]: the one-hot spread from slot position p (not payload
+    index l) straight to unified mother position m, for kind k. Rows
+    for non-payload positions (training/pad/BBK) are zero.
+
+    Measured rationale (tools/profile_chain_stages.py + /tmp probes):
+    jnp.take along the slot batch's lane axis costs ~5 ms per 1296-wide
+    gather at bench shapes — more than the assembly matmul itself —
+    while the keystream arrangement can be done per CARRIER (64x fewer
+    rows) and broadcast.
+    """
+    sel_slot, sel_ks, P, rmask, bbk, ks_fixed = _maps()
+    P2 = np.zeros((3, _SLOT_W, N_MOTHER), np.float32)
+    for k in range(3):
+        for l in range(432):
+            p = int(sel_slot[k, l])
+            if p < C.BITS_PER_TS:
+                P2[k, p] = P[k, l]
+    return P2
+
+
 def decode_segmented(soft, rmask, n_sym: int = N_SYM,
                      boundaries: tuple = BOUNDARIES,
                      generators=C.CONV_GENERATORS_CCH):
@@ -169,24 +198,20 @@ def assemble_soft(slots, inits, kinds, soft_input: bool = False):
     """Kind-masked FEC assembly: slots [..., 510] (+ broadcastable
     scrambling codes + kinds) -> (soft [N, 1152], rm [N, 3], ks_cell).
 
-    Per-kind CONSTANT index maps -> static gathers (cheap copies) and
-    ONE one-hot matmul for the depuncture/deinterleave spread: the
-    three kinds' sign vectors are concatenated with inactive kinds
-    zeroed by the per-slot kind mask, so a single [N, 3*432] x
-    [3*432, 1152] product replaces three matmuls + two full-width
-    selects (each a ~0.5 GB HBM pass at bench batch sizes). Per-slot
-    dynamic gathers would lower to real TPU gathers and dominate.
+    GATHER-FREE per slot: the descramble is an XOR against per-kind
+    keystream PLANES indexed by slot position (built gather+scatter on
+    the un-broadcast carrier shape, broadcast into the XOR), and the
+    slot-position -> mother-position gather plus depuncture/
+    deinterleave spread is ONE one-hot matmul P2 (see _maps_planes);
+    the three kinds' sign planes are concatenated with inactive kinds
+    zeroed by the per-slot kind mask, one [N, 3*512] x [3*512, 1152]
+    product. jnp.take along the slot batch's lanes measured ~5 ms per
+    1296-wide gather at bench shapes — more than this whole matmul.
 
-    Two measured refinements (tools/profile_chain_stages.py):
-    - the keystream matmul + its gathers run on the UN-broadcast inits
-      shape (normally [carriers, 1]) and broadcast lazily into the XOR,
-      not per slot — the [N, 432] float32 GF(2) product was ~1/3 of the
-      assembly stage;
-    - on TPU the hard path uses an int8 {0, ±1} alphabet end-to-end:
-      P's one-hot rows make every soft output a single product, exact
-      in int8, and branch metrics scale-invariantly reproduce the ±127
-      alphabet's decisions (s8 MXU issue rate is 2x bf16, and the soft
-      tensor + its kernel-layout transpose halve again vs bf16).
+    On TPU the hard path uses an int8 {0, ±1} alphabet end-to-end:
+    P2's one-hot rows make every soft output a single product, exact
+    in int8 (s8 MXU issue rate is 2x bf16, and the soft tensor halves
+    again vs bf16); the Viterbi kernel consumes it natively.
     """
     batch = slots.shape[:-1]
     N = int(np.prod(batch)) if batch else 1
@@ -197,32 +222,38 @@ def assemble_soft(slots, inits, kinds, soft_input: bool = False):
     k = jnp.clip(kinds_b, 0, 2)
 
     sel_slot, sel_ks, P, rmask_t, bbk_pidx, ks_fixed = _maps()
+    P2 = _maps_planes()
     ks_cell = scramble.keystream(inits_b, _KS_CELL)   # [inits_shape, 432]
     ksv = jnp.concatenate([
         ks_cell,
         jnp.broadcast_to(jnp.asarray(ks_fixed), ks_cell.shape[:-1] + (120,)),
         jnp.zeros(ks_cell.shape[:-1] + (1,), jnp.int8)], axis=-1)
-    srcv = jnp.concatenate(
-        [slots_b, jnp.zeros(batch + (1,), in_dtype)], axis=-1)
+    src = jnp.pad(slots_b, [(0, 0)] * len(batch)
+                  + [(0, _SLOT_W - C.BITS_PER_TS)])
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     dt = jnp.int8 if (on_tpu and not soft_input) else pipeline_mod._mm_dtype()
     one = 1 if dt == jnp.int8 else 127
     parts = []
     for kk in range(3):
-        ks_k = jnp.take(ksv, jnp.asarray(sel_ks[kk]), axis=-1)
-        src_k = jnp.take(srcv, jnp.asarray(sel_slot[kk]), axis=-1)
+        # kind-k keystream ARRANGED BY SLOT POSITION, built on the
+        # un-broadcast carrier shape (gather+scatter over ~C rows) and
+        # broadcast into the per-slot XOR — the per-slot path is then
+        # gather-free (the slot-position gather lives in P2's rows)
+        plane = jnp.zeros(ksv.shape[:-1] + (_SLOT_W,), jnp.int8).at[
+            ..., jnp.asarray(sel_slot[kk])].set(
+            jnp.take(ksv, jnp.asarray(sel_ks[kk]), axis=-1))
         mask = (k == kk)[..., None]
         if soft_input:
             # descramble = sign flip; amplitudes carried through
-            sgn = jnp.where(mask, src_k * (1 - 2 * ks_k.astype(jnp.float32)),
+            sgn = jnp.where(mask, src * (1 - 2 * plane.astype(jnp.float32)),
                             0.0).astype(dt)
         else:
-            sgn = jnp.where(mask, 1 - 2 * (src_k ^ ks_k).astype(jnp.int8),
+            sgn = jnp.where(mask, 1 - 2 * (src ^ plane).astype(jnp.int8),
                             0).astype(dt)
         parts.append(jnp.broadcast_to(sgn, batch + sgn.shape[-1:]))
-    P_all = jnp.asarray(np.concatenate(P, axis=0) if one == 127 else
-                        (np.concatenate(P, axis=0) != 0), dt)  # [3L, 1152]
+    P_all = jnp.asarray(np.concatenate(P2, axis=0) if one == 127 else
+                        (np.concatenate(P2, axis=0) != 0), dt)  # [3W, 1152]
     # int8 mode: P one-hot rows -> each output is ONE {0, ±1} product,
     # exact in an s8 x s8 -> s8 MXU pass, consumed natively by the
     # int8 radix-16 Viterbi kernel (half the transpose/VMEM traffic of
