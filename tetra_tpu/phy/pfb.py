@@ -142,12 +142,20 @@ def pfb_to_demod_rate_ri(re, im, channel_idx, n_chan: int, fs: float,
     if (on_tpu and re.ndim == 1
             and _resample_block_plan(8, chan_rate, out_rate) is not None):
         from tetra_tpu.phy.pfb_pallas import (pfb_channelize_rows_pallas,
-                                              resample_rows_pallas)
-        yr, yi = pfb_channelize_rows_pallas(re, im, n_chan, taps_per_branch)
+                                              resample_rows_pallas,
+                                              channel_lane_positions)
+        # the channelizer's radix-4 path emits channels lane-permuted;
+        # the resampler is channel-independent, so the permutation is
+        # composed into this (already present) channel-indexed take
+        # instead of a full-width unpermute
+        yr, yi = pfb_channelize_rows_pallas(re, im, n_chan, taps_per_branch,
+                                            return_perm=True)
+        pos = jnp.asarray(channel_lane_positions(n_chan), jnp.int32)
         out_r, out_i = resample_rows_pallas(yr, yi, chan_rate, out_rate,
                                             skew=skew)
-        return (jnp.take(out_r.T, channel_idx, axis=0),
-                jnp.take(out_i.T, channel_idx, axis=0))
+        idx = jnp.take(pos, channel_idx)
+        return (jnp.take(out_r.T, idx, axis=0),
+                jnp.take(out_i.T, idx, axis=0))
     cr, ci = pfb_channelize_ri(re, im, n_chan, taps_per_branch)
     cr = jnp.take(cr, channel_idx, axis=0)
     ci = jnp.take(ci, channel_idx, axis=0)

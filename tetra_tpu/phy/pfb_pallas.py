@@ -29,14 +29,26 @@ from jax.experimental.pallas import tpu as pltpu
 from tetra_tpu.phy.pfb import pfb_prototype, _dft_matrices
 
 __all__ = ["pfb_channelize_ri_pallas", "pfb_channelize_rows_pallas",
-           "resample_rows_pallas"]
+           "resample_rows_pallas", "channel_lane_positions"]
 
 
-def _make_kernel(tm: int, hop: int, J: int, dft_dtype):
+def channel_lane_positions(n_chan: int) -> np.ndarray:
+    """Lane position holding channel k in the kernel's un-unpermuted
+    (return_perm=True) radix-4 output; identity when the dense DFT
+    path is active."""
+    k = np.arange(n_chan)
+    if n_chan % 4 == 0 and n_chan // 4 >= 128:
+        return (k % 4) * (n_chan // 4) + k // 4
+    return k
+
+
+def _make_kernel(tm: int, hop: int, J: int, dft_dtype, radix4: bool):
     n_chan = 2 * hop
+    Q = n_chan // 4
 
     def kernel(xr_c, xr_n, xi_c, xi_n, hlo_ref, hhi_ref, cos_ref, sin_ref,
-               yr_ref, yi_ref):
+               *rest):
+        tw_ref, yr_ref, yi_ref = ((None,) + rest if not radix4 else rest)
         j = pl.program_id(0)
         hlo = hlo_ref[:]                                   # [J, hop]
         hhi = hhi_ref[:]
@@ -54,19 +66,59 @@ def _make_kernel(tm: int, hop: int, J: int, dft_dtype):
                 hi = hi + pltpu.roll(win, 2 * tm - 2 * jj - 1, 0)[:tm] * hhi[jj]
             return jnp.concatenate([lo, hi], axis=1)       # [tm, C]
 
-        br = branches(xr_c, xr_n).astype(dft_dtype)
-        bi = branches(xi_c, xi_n).astype(dft_dtype)
-        cos = cos_ref[:]
-        sin = sin_ref[:]
-        yr = (jnp.dot(br, cos, preferred_element_type=jnp.float32)
-              + jnp.dot(bi, sin, preferred_element_type=jnp.float32))
-        yi = (jnp.dot(bi, cos, preferred_element_type=jnp.float32)
-              - jnp.dot(br, sin, preferred_element_type=jnp.float32))
-        # WOLA hop rotation (-1)^{cm}: frame index m = j·tm + row
+        br_f = branches(xr_c, xr_n)
+        bi_f = branches(xi_c, xi_n)
         row = jax.lax.broadcasted_iota(jnp.int32, (tm, n_chan), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (tm, n_chan), 1)
         m = j * tm + row
-        sign = jnp.where((m * col) % 2 == 1, -1.0, 1.0)
+
+        if radix4:
+            # radix-4 DIF: X[4q+r] = DFT_Q{ (Σ_a x[t+Qa]·W4^{ar}) ·
+            # W_N^{tr} }[q] — the 4-group butterfly is exact f32 adds,
+            # the twiddle an elementwise complex rotation, and the
+            # per-r DFTs are K=Q matmuls: 4x fewer MXU MACs than the
+            # dense [C, C] analysis DFT (Q >= 128 keeps the MXU's
+            # contraction depth full). Output lanes hold channel
+            # 4q + r at position r·Q + q; the wrapper unpermutes.
+            CQ = cos_ref[:]                                # [Q, Q] dft_dtype
+            SQ = sin_ref[:]
+            tw = tw_ref[:]                                 # [8, Q] f32
+            twc, tws = tw[:4], tw[4:]
+            g = lambda b, a: b[:, a * Q:(a + 1) * Q]
+            br0, br1, br2, br3 = (g(br_f, a) for a in range(4))
+            bi0, bi1, bi2, bi3 = (g(bi_f, a) for a in range(4))
+            s = [
+                (br0 + br1 + br2 + br3, bi0 + bi1 + bi2 + bi3),
+                (br0 + bi1 - br2 - bi3, bi0 - br1 - bi2 + br3),
+                (br0 - br1 + br2 - br3, bi0 - bi1 + bi2 - bi3),
+                (br0 - bi1 - br2 + bi3, bi0 + br1 - bi2 - br3),
+            ]
+            xs_r, xs_i = [], []
+            for r in range(4):
+                s_re, s_im = s[r]
+                ct, st = twc[r], tws[r]                    # [Q] lanes
+                u_re = (s_re * ct + s_im * st).astype(dft_dtype)
+                u_im = (s_im * ct - s_re * st).astype(dft_dtype)
+                xs_r.append(jnp.dot(u_re, CQ, preferred_element_type=jnp.float32)
+                            + jnp.dot(u_im, SQ, preferred_element_type=jnp.float32))
+                xs_i.append(jnp.dot(u_im, CQ, preferred_element_type=jnp.float32)
+                            - jnp.dot(u_re, SQ, preferred_element_type=jnp.float32))
+            yr = jnp.concatenate(xs_r, axis=1)             # [tm, C] permuted
+            yi = jnp.concatenate(xs_i, axis=1)
+            # channel parity of lane p = r·Q + q is parity of r = p // Q
+            kpar = (col // Q) % 2
+        else:
+            br = br_f.astype(dft_dtype)
+            bi = bi_f.astype(dft_dtype)
+            cos = cos_ref[:]
+            sin = sin_ref[:]
+            yr = (jnp.dot(br, cos, preferred_element_type=jnp.float32)
+                  + jnp.dot(bi, sin, preferred_element_type=jnp.float32))
+            yi = (jnp.dot(bi, cos, preferred_element_type=jnp.float32)
+                  - jnp.dot(br, sin, preferred_element_type=jnp.float32))
+            kpar = col % 2
+        # WOLA hop rotation (-1)^{cm}: frame index m = j·tm + row
+        sign = jnp.where((m % 2) * kpar == 1, -1.0, 1.0)
         yr_ref[:] = yr * sign
         yi_ref[:] = yi * sign
 
@@ -75,13 +127,20 @@ def _make_kernel(tm: int, hop: int, J: int, dft_dtype):
 
 @functools.partial(jax.jit, static_argnames=("n_chan", "taps_per_branch",
                                              "tile_m", "interpret",
-                                             "dft_bf16"))
+                                             "dft_bf16", "return_perm"))
 def pfb_channelize_rows_pallas(re, im, n_chan: int, taps_per_branch: int = 16,
                                tile_m: int = 256,
                                interpret: bool | None = None,
-                               dft_bf16: bool | None = None):
+                               dft_bf16: bool | None = None,
+                               return_perm: bool = False):
     """Planar wideband [T] -> channel frames in TIME-MAJOR layout
     ([M, C], [M, C]), M ≈ 2T/C — the kernel's natural output order.
+
+    return_perm=True skips the in-place channel unpermute of the
+    radix-4 path: lanes then hold channel k at position
+    channel_lane_positions(n_chan)[k] — compose that into any
+    downstream channel-indexed take instead (a [M, C] lane gather
+    costs more than the radix-4 DFT split saves).
     The downstream per-channel resampler consumes rows directly; only
     the final 36 kHz product gets transposed to [C, ·].
 
@@ -126,7 +185,30 @@ def pfb_channelize_rows_pallas(re, im, n_chan: int, taps_per_branch: int = 16,
             return (jnp.clip(j + off, 0, nb_v - 1), 0)
         return pl.BlockSpec((tm, hop), imap, memory_space=pltpu.VMEM)
 
-    kernel = _make_kernel(tm, hop, J, dft_dtype)
+    # radix-4 DIF split of the analysis DFT when the quarter size still
+    # fills the MXU's contraction depth (see _make_kernel); the kernel
+    # then emits channel 4q+r at lane r·Q + q and is unpermuted here
+    radix4 = n_chan % 4 == 0 and n_chan // 4 >= 128
+    extra_in, extra_specs = [], []
+    if radix4:
+        Q = n_chan // 4
+        t = np.arange(Q)
+        cos_in = jnp.asarray(np.cos(2.0 * np.pi * np.outer(t, t) / Q)
+                             .astype(np.float32)).astype(dft_dtype)
+        sin_in = jnp.asarray(np.sin(2.0 * np.pi * np.outer(t, t) / Q)
+                             .astype(np.float32)).astype(dft_dtype)
+        tw = 2.0 * np.pi * np.outer(np.arange(4), t) / n_chan
+        extra_in = [jnp.asarray(np.concatenate(
+            [np.cos(tw), np.sin(tw)], 0).astype(np.float32))]
+        extra_specs = [pl.BlockSpec((8, Q), lambda j: (0, 0),
+                                    memory_space=pltpu.VMEM)]
+        dft_rows = dft_cols = Q
+    else:
+        dft_rows = dft_cols = n_chan
+        cos_in = jnp.asarray(cosm).astype(dft_dtype)
+        sin_in = jnp.asarray(sinm).astype(dft_dtype)
+
+    kernel = _make_kernel(tm, hop, J, dft_dtype, radix4)
     yr, yi = pl.pallas_call(
         kernel,
         grid=(n_grid,),
@@ -135,10 +217,10 @@ def pfb_channelize_rows_pallas(re, im, n_chan: int, taps_per_branch: int = 16,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((J, hop), lambda j: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((n_chan, n_chan), lambda j: (0, 0),
+                  pl.BlockSpec((dft_rows, dft_cols), lambda j: (0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((n_chan, n_chan), lambda j: (0, 0),
-                               memory_space=pltpu.VMEM)],
+                  pl.BlockSpec((dft_rows, dft_cols), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM)] + extra_specs,
         out_specs=[pl.BlockSpec((tm, n_chan), lambda j: (j, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((tm, n_chan), lambda j: (j, 0),
@@ -146,8 +228,11 @@ def pfb_channelize_rows_pallas(re, im, n_chan: int, taps_per_branch: int = 16,
         out_shape=[jax.ShapeDtypeStruct((n_grid * tm, n_chan), jnp.float32),
                    jax.ShapeDtypeStruct((n_grid * tm, n_chan), jnp.float32)],
         interpret=interpret,
-    )(u_r, u_r, u_i, u_i, hlo, hhi,
-      jnp.asarray(cosm).astype(dft_dtype), jnp.asarray(sinm).astype(dft_dtype))
+    )(u_r, u_r, u_i, u_i, hlo, hhi, cos_in, sin_in, *extra_in)
+    if radix4 and not return_perm:
+        perm = jnp.asarray(channel_lane_positions(n_chan), jnp.int32)
+        yr = jnp.take(yr, perm, axis=1)
+        yi = jnp.take(yi, perm, axis=1)
     return yr[:M], yi[:M]
 
 
@@ -176,19 +261,28 @@ def _resample_A(n_qblk: int, fs: float, out_rate: float, skew: float):
         for r in range(M):
             A[q * M + r, tm2 + q * L + bmin: tm2 + q * L + bmin + width] = \
                 W[:, r]
-    return A, L, M, tm2
+    # live band of the block-Toeplitz matrix: outputs only reach a few
+    # rows into the prev/next views (|bmin|, width-L tails), so trim
+    # the matmul to it — the dense [ro, 3·tm2] form pays ~3x the FLOPs
+    # multiplying guaranteed zeros. Round to 8-row sublane tiles.
+    c0 = (tm2 + min(0, bmin)) // 8 * 8
+    c1 = -(-(tm2 + (n_qblk - 1) * L + bmin + width) // 8) * 8
+    return A[:, c0:c1], L, M, tm2, c0, c1
 
 
-def _make_resample_kernel(tm2: int, ro: int, C: int, n_in: int, dt):
+def _make_resample_kernel(tm2: int, ro: int, C: int, n_in: int, dt,
+                          c0: int, c1: int):
     def kernel(xr_p, xr_c, xr_n, xi_p, xi_c, xi_n, A_ref, or_ref, oi_ref):
         j = pl.program_id(0)
         A = A_ref[:]
-        row = jax.lax.broadcasted_iota(jnp.int32, (3 * tm2, C), 0)
-        g = (j - 1) * tm2 + row
+        row = jax.lax.broadcasted_iota(jnp.int32, (c1 - c0, C), 0)
+        g = (j - 1) * tm2 + c0 + row
         valid = jnp.logical_and(g >= 0, g < n_in)
 
         def one(p, c, n):
-            win = jnp.concatenate([p[:], c[:], n[:]], axis=0)
+            # only the trimmed live band [c0, c1) of the prev|cur|next
+            # window participates in the matmul (see _resample_A)
+            win = jnp.concatenate([p[:], c[:], n[:]], axis=0)[c0:c1]
             win = jnp.where(valid, win, 0.0).astype(dt)
             return jnp.dot(A, win, preferred_element_type=jnp.float32)
 
@@ -226,7 +320,7 @@ def resample_rows_pallas(x_r, x_i, fs: float, out_rate: float,
     plan = _resample_block_plan(n_in, fs, out_rate, skew=skew)
     assert plan is not None, "pallas resampler requires a rational ratio"
     _, _, _, L, M, n_out, _ = plan
-    A_np, L, M, tm2 = _resample_A(n_qblk, fs, out_rate, skew)
+    A_np, L, M, tm2, c0, c1 = _resample_A(n_qblk, fs, out_rate, skew)
     ro = n_qblk * M
     n_grid = -(-n_out // ro)
     rows_need = (n_grid + 1) * tm2
@@ -239,12 +333,12 @@ def resample_rows_pallas(x_r, x_i, fs: float, out_rate: float,
             return (jnp.clip(j + off, 0, nb_v - 1), 0)
         return pl.BlockSpec((tm2, C), imap, memory_space=pltpu.VMEM)
 
-    kernel = _make_resample_kernel(tm2, ro, C, n_in, dt)
+    kernel = _make_resample_kernel(tm2, ro, C, n_in, dt, c0, c1)
     o_r, o_i = pl.pallas_call(
         kernel,
         grid=(n_grid,),
         in_specs=[view(-1), view(0), view(1), view(-1), view(0), view(1),
-                  pl.BlockSpec((ro, 3 * tm2), lambda j: (0, 0),
+                  pl.BlockSpec((ro, c1 - c0), lambda j: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((ro, C), lambda j: (j, 0),
                                 memory_space=pltpu.VMEM),

@@ -9,7 +9,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 import jax.numpy as jnp
 
-from tetra_tpu.phy.pfb_pallas import pfb_channelize_rows_pallas
+from tetra_tpu.phy.pfb_pallas import (pfb_channelize_rows_pallas,
+                                      channel_lane_positions)
 from tetra_tpu.phy.channelizer import _resample_rows_ri
 
 REPS = 7
@@ -34,12 +35,14 @@ def main():
 
     @jax.jit
     def s_kernel(wre, wim):
-        yr, yi = pfb_channelize_rows_pallas(wre, wim, N_CHAN)
+        yr, yi = pfb_channelize_rows_pallas(wre, wim, N_CHAN,
+                                    return_perm=True)
         return yr.sum() + yi.sum()
 
     @jax.jit
     def s_resamp(wre, wim):
-        yr, yi = pfb_channelize_rows_pallas(wre, wim, N_CHAN)
+        yr, yi = pfb_channelize_rows_pallas(wre, wim, N_CHAN,
+                                    return_perm=True)
         m = yr.shape[0]
         a = _resample_rows_ri(yr, m, CHAN_RATE, 36000.0, skew=SKEW)
         b = _resample_rows_ri(yi, m, CHAN_RATE, 36000.0, skew=SKEW)
@@ -47,10 +50,14 @@ def main():
 
     @jax.jit
     def s_full(wre, wim):
-        yr, yi = pfb_channelize_rows_pallas(wre, wim, N_CHAN)
+        yr, yi = pfb_channelize_rows_pallas(wre, wim, N_CHAN,
+                                    return_perm=True)
         m = yr.shape[0]
+        pos = jnp.asarray(channel_lane_positions(N_CHAN), jnp.int32)
         a = _resample_rows_ri(yr, m, CHAN_RATE, 36000.0, skew=SKEW).T
         b = _resample_rows_ri(yi, m, CHAN_RATE, 36000.0, skew=SKEW).T
+        a = jnp.take(a, pos, axis=0)
+        b = jnp.take(b, pos, axis=0)
         return a.sum() + b.sum()
 
     fns = {"kernel": s_kernel, "resamp": s_resamp, "full": s_full}
