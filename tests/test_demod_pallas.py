@@ -70,3 +70,20 @@ class TestDemodPallas:
         out = np.asarray(demodulate_hard_ri_pallas(
             re, im, tile_c=2, tile_t=512, interpret=True))
         np.testing.assert_array_equal(out, ref)
+
+    def test_slot_framed_output_matches_slice(self):
+        """demodulate_hard_slots_ri_pallas == slicing the bit stream at
+        phase_bit and reshaping into slots (the path it replaces)."""
+        from tetra_tpu.phy.demod_pallas import demodulate_hard_slots_ri_pallas
+        rng = np.random.default_rng(16)
+        n_slots, phase_bit = 3, 64
+        re, im = _signal(rng, C=5, n_sym=(phase_bit + n_slots * 510) // 2 + 40)
+        bits_ref = np.asarray(demodulate_hard_ri_pallas(
+            re, im, tile_c=4, tile_t=256, interpret=True))
+        want = bits_ref[:, phase_bit: phase_bit + n_slots * 510].reshape(
+            5, n_slots, 510)
+        slots, bits = demodulate_hard_slots_ri_pallas(
+            re, im, n_slots, phase_bit=phase_bit, tile_c=4, tile_t=256,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(slots), want)
+        np.testing.assert_array_equal(np.asarray(bits), bits_ref)

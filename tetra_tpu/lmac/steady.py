@@ -193,6 +193,19 @@ def locked_step_ri(re, im, inits, phase_bit: int = 0, sps: int = 2,
         out = locked_step_bits(slots, inits, decoders=decoders)
         out["bits"] = slots.reshape(*slots.shape[:-2], S * C.BITS_PER_TS)
         return out
+    if fast == "pallas" and phase_bit % 2 == 0:
+        # slot framing cut on the demod's packed per-symbol decisions —
+        # slicing the unpacked bit stream at phase_bit relayouts the
+        # whole stream (~2 ms at bench shapes)
+        from tetra_tpu.phy.demod_pallas import demodulate_hard_slots_ri_pallas
+        S = n_slots if n_slots is not None else \
+            (re.shape[-1] * 2 // sps - phase_bit) // C.BITS_PER_TS
+        slots, bits = demodulate_hard_slots_ri_pallas(re, im, S,
+                                                      phase_bit=phase_bit,
+                                                      sps=sps)
+        out = locked_step_bits(slots, inits, decoders=decoders)
+        out["bits"] = bits[..., phase_bit:]
+        return out
     if fast == "pallas":
         from tetra_tpu.phy.demod_pallas import demodulate_hard_ri_pallas
         bits = demodulate_hard_ri_pallas(re, im, sps=sps)

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tetra_tpu.phy.dqpsk import rrc_taps
 
-__all__ = ["demodulate_hard_ri_pallas"]
+__all__ = ["demodulate_hard_ri_pallas", "demodulate_hard_slots_ri_pallas"]
 
 _SUB = 128          # FIR sub-block width (one MXU tile of outputs)
 
@@ -112,20 +112,11 @@ def _make_kernel(tc: int, tb: int, sps: int, K: int, T: int):
     return kernel, W
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("sps", "tile_c", "tile_t", "interpret"))
-def demodulate_hard_ri_pallas(re, im, sps: int = 2, tile_c: int = 256,
-                              tile_t: int = 512,
-                              interpret: bool | None = None):
-    """Planar baseband [C, T] f32 -> hard ubits [C, 2·(T//sps)].
-
-    Drop-in for dqpsk.demodulate_hard_ri on 2-D batches (the steady
-    chain's shape), for T a multiple of sps. Decision-identical on
-    anything with a decision margin above f32/bf16 matmul rounding (the
-    FIR runs on the MXU in both versions, with different blockings).
-    interpret=None auto-selects the Pallas interpreter off-TPU, so the
-    same call works in CPU tests and on hardware.
-    """
+def _demod_sel(re, im, sps: int = 2, tile_c: int = 256, tile_t: int = 512,
+               interpret: bool | None = None):
+    """Kernel + phase selection -> packed per-symbol decisions
+    [C, T//sps] int8 (b0 | b1<<1); shared by the bit-stream and
+    slot-framed public entry points."""
     assert re.ndim == 2
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -196,5 +187,56 @@ def demodulate_hard_ri_pallas(re, im, sps: int = 2, tile_c: int = 256,
     # per-carrier timing phase, then slice that parity's samples
     best = jnp.argmax(met, axis=-1).astype(jnp.int32)       # [C]
     sel = jnp.take_along_axis(pk, best[:, None, None], axis=-1)[..., 0]
+    return sel
+
+
+def _unpack_bits(sel):
     bits = jnp.stack([sel & 1, (sel >> 1) & 1], axis=-1)
-    return bits.reshape(C, 2 * n_sym)
+    return bits.reshape(sel.shape[0], 2 * sel.shape[1])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sps", "tile_c", "tile_t", "interpret"))
+def demodulate_hard_ri_pallas(re, im, sps: int = 2, tile_c: int = 256,
+                              tile_t: int = 512,
+                              interpret: bool | None = None):
+    """Planar baseband [C, T] f32 -> hard ubits [C, 2·(T//sps)].
+
+    Drop-in for dqpsk.demodulate_hard_ri on 2-D batches (the steady
+    chain's shape), for T a multiple of sps. Decision-identical on
+    anything with a decision margin above f32/bf16 matmul rounding (the
+    FIR runs on the MXU in both versions, with different blockings).
+    interpret=None auto-selects the Pallas interpreter off-TPU, so the
+    same call works in CPU tests and on hardware.
+    """
+    return _unpack_bits(_demod_sel(re, im, sps, tile_c, tile_t, interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("n_slots", "phase_bit", "sps",
+                                             "tile_c", "tile_t", "interpret"))
+def demodulate_hard_slots_ri_pallas(re, im, n_slots: int, phase_bit: int = 0,
+                                    sps: int = 2, tile_c: int = 256,
+                                    tile_t: int = 512,
+                                    interpret: bool | None = None):
+    """Planar baseband [C, T] f32 -> (slots [C, n_slots, 510],
+    bits [C, 2·(T//sps)]), locked at bit `phase_bit` (must be even:
+    a whole-symbol offset).
+
+    The slot framing is cut at the SYMBOL level, on the demod's packed
+    per-symbol decisions, before bit unpacking — slicing the unpacked
+    [C, 2·n_sym] bit stream at a non-tile offset relayouts the whole
+    stream (~2 ms at bench shapes) where the symbol-level cut plus
+    paired unpack into the slot shape costs one half-width pass. The
+    two return values share the demod; inside a jit, whichever the
+    caller drops is dead-code-eliminated.
+    """
+    assert phase_bit % 2 == 0, "slot framing needs a whole-symbol offset"
+    sel = _demod_sel(re, im, sps, tile_c, tile_t, interpret)
+    n_sym_slot = 255
+    off = phase_bit // 2
+    Cn = sel.shape[0]
+    sel_s = sel[:, off: off + n_slots * n_sym_slot].reshape(
+        Cn, n_slots, n_sym_slot)
+    slots = jnp.stack([sel_s & 1, (sel_s >> 1) & 1],
+                      axis=-1).reshape(Cn, n_slots, 2 * n_sym_slot)
+    return slots, _unpack_bits(sel)

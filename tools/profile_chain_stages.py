@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from tetra_tpu import constants as C
 from tetra_tpu import tx
 from tetra_tpu.phy import dqpsk
-from tetra_tpu.phy.demod_pallas import demodulate_hard_ri_pallas
+from tetra_tpu.phy.demod_pallas import (demodulate_hard_ri_pallas,
+                                        demodulate_hard_slots_ri_pallas)
 from tetra_tpu.phy.burst import build_norm_c_d_burst
 from tetra_tpu.lmac import steady, fused as fused_mod
 from tetra_tpu.ops.scramble import scramb_get_init
@@ -66,10 +67,10 @@ def main():
 
     data = {CC: mkdata(CC) for CC in (C_SMALL, C_BIG)}
 
-    def slots_of(bits):
-        b = bits[..., phase_bit:]
-        return b[..., : N_SLOTS * C.BITS_PER_TS].reshape(
-            b.shape[0], N_SLOTS, C.BITS_PER_TS)
+    def slots_of(re, im):
+        s, _ = demodulate_hard_slots_ri_pallas(re, im, N_SLOTS,
+                                               phase_bit=phase_bit)
+        return s
 
     # ---- cumulative prefixes ----
     @jax.jit
@@ -78,19 +79,19 @@ def main():
 
     @jax.jit
     def p2_slots(re, im, inits):
-        return slots_of(demodulate_hard_ri_pallas(re, im)).astype(
+        return slots_of(re, im).astype(
             jnp.int32).sum()
 
     @jax.jit
     def p3_kinds(re, im, inits):
-        slots = slots_of(demodulate_hard_ri_pallas(re, im))
+        slots = slots_of(re, im)
         return steady.verify_train_seq(slots).sum()
 
     @jax.jit
     def p4_assembly(re, im, inits):
         """demod + kinds + keystream + gathers/mask + assembly matmul
         (everything in decode_slots_fused before the Viterbi)."""
-        slots = slots_of(demodulate_hard_ri_pallas(re, im))
+        slots = slots_of(re, im)
         kinds = steady.verify_train_seq(slots)
         soft, _, _ = fused_mod.assemble_soft(slots, inits[:, None], kinds)
         return soft.astype(jnp.float32).sum()
@@ -98,7 +99,7 @@ def main():
     @jax.jit
     def p5_viterbi(re, im, inits):
         """p4 + the segmented Viterbi (skips CRC/BBK/wrap)."""
-        slots = slots_of(demodulate_hard_ri_pallas(re, im))
+        slots = slots_of(re, im)
         kinds = steady.verify_train_seq(slots)
         soft, rm, _ = fused_mod.assemble_soft(slots, inits[:, None], kinds)
         bits = fused_mod._decode_segmented_auto(soft, rm)
