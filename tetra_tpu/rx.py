@@ -21,6 +21,7 @@ import os
 from dataclasses import dataclass
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tetra_tpu import constants as C
@@ -54,7 +55,43 @@ class RxStats:
     bursts: int = 0
 
 
-def decode_slots_multi(streams, slots_per, start_inits):
+_PACK_A, _PACK_B, _PACK_BBK = 268, 124, 14
+_PACK_BITS = _PACK_A + _PACK_B + _PACK_BBK          # 406 payload columns
+_PACK_W = _PACK_BITS + 2                            # + okA, okB flags
+PACK_LEN_A = {0: 60, 1: 268, 2: 124}                # type-1 bits in A by kind
+PACK_LEN_B = {0: 124, 1: 0, 2: 124}
+
+
+@jax.jit
+def _pack_selected(res, kinds):
+    """Kind-select each slot's decoded blocks into ONE [n, _PACK_W]
+    int8 row: [A-block type1 (sb1/schf/ndb1, zero-padded to 268) |
+    B-block type1 (sb2/-/ndb2, 124) | BBK type1 (14) | okA | okB].
+    One device->host fetch replaces ~19 per-block-type fetches — on a
+    tunneled device the result readback, not compute, dominates the
+    multi-carrier receiver (~36-130 MB/s effective d2h)."""
+    kk = kinds[:, None]
+
+    def pad(x, w):
+        return jnp.pad(x.astype(jnp.int8), ((0, 0), (0, w - x.shape[-1])))
+
+    t1a = jnp.where(kk == 0, pad(res["sb1"].type1, _PACK_A),
+                    jnp.where(kk == 1, res["schf"].type1.astype(jnp.int8),
+                              pad(res["ndb1"].type1, _PACK_A)))
+    t1b = jnp.where(kk == 0, res["sb2"].type1.astype(jnp.int8),
+                    jnp.where(kk == 2, res["ndb2"].type1.astype(jnp.int8), 0))
+    okA = jnp.where(kinds == 0, res["sb1"].crc_ok,
+                    jnp.where(kinds == 1, res["schf"].crc_ok,
+                              res["ndb1"].crc_ok))
+    okB = jnp.where(kinds == 0, res["sb2"].crc_ok,
+                    jnp.where(kinds == 2, res["ndb2"].crc_ok, False))
+    return jnp.concatenate(
+        [t1a, t1b, res["bbk"].type1.astype(jnp.int8),
+         okA[:, None].astype(jnp.int8), okB[:, None].astype(jnp.int8)],
+        axis=-1)
+
+
+def decode_slots_multi(streams, slots_per, start_inits, packed: bool = False):
     """Cross-carrier batched two-phase FEC decode.
 
     streams: per-carrier host bit arrays; slots_per: matching lists of
@@ -107,6 +144,10 @@ def decode_slots_multi(streams, slots_per, start_inits):
     # compiled shapes are bounded)
     out = [[None] * len(sl) for sl in slots_per]
     if not entries:
+        if packed:
+            return {"packed": np.zeros((0, _PACK_W), np.int8),
+                    "entries": [], "kinds": np.zeros(0, np.int32),
+                    "t4_full": None, "t4_b2": None, "t4_pos": {}}
         return out
     from tetra_tpu.lmac.fused import decode_slots_fused
     from tetra_tpu.lmac.steady import _bucket
@@ -123,9 +164,6 @@ def decode_slots_multi(streams, slots_per, start_inits):
                   + [0] * (b - n), np.uint32)
     res = decode_slots_fused(jnp.asarray(bursts), jnp.asarray(ii),
                              jnp.asarray(kinds))
-    res_np = {k: (np.asarray(v.type1), np.asarray(v.crc_ok),
-                  np.asarray(v.type2))
-              for k, v in res.items() if k not in ("kinds", "crc_ok")}
 
     # type-4 payload bits feed the traffic dump (tetra_lower_mac.c:198-241)
     norm_n = [m for m, (_, _, s) in enumerate(entries)
@@ -135,10 +173,23 @@ def decode_slots_multi(streams, slots_per, start_inits):
         _, b1, b2 = split_norm_burst(jnp.asarray(bursts[norm_n]))
         iin = jnp.asarray(ii[norm_n])
         # SCH/F: one 432-bit block; NDB blk2: its own fresh keystream
-        t4_full = np.asarray(scramb_bits(iin, jnp.concatenate([b1, b2],
-                                                              axis=-1)))
-        t4_b2 = np.asarray(scramb_bits(iin, b2))
+        t4_full = scramb_bits(iin, jnp.concatenate([b1, b2], axis=-1))
+        t4_b2 = scramb_bits(iin, b2)
     t4_pos = {m: i for i, m in enumerate(norm_n)}
+
+    if packed:
+        # the packed contract: one fetched [n, _PACK_W] row per slot,
+        # t4 left ON DEVICE (fetched lazily, batched, only for slots
+        # the control plane flags as traffic)
+        pk = np.asarray(_pack_selected(res, jnp.asarray(kinds)))[:n]
+        return {"packed": pk, "entries": entries, "kinds": kinds[:n],
+                "t4_full": t4_full, "t4_b2": t4_b2, "t4_pos": t4_pos}
+
+    res_np = {k: (np.asarray(v.type1), np.asarray(v.crc_ok),
+                  np.asarray(v.type2))
+              for k, v in res.items() if k not in ("kinds", "crc_ok")}
+    t4_full = np.asarray(t4_full) if t4_full is not None else None
+    t4_b2 = np.asarray(t4_b2) if t4_b2 is not None else None
 
     field_map = {
         "SYNC": [("SB1", "sb1"), ("BBK", "bbk"), ("SB2", "sb2")],

@@ -116,7 +116,8 @@ class MultiCarrierReceiver:
         decoded = decode_slots_multi([self._buf[c] for c in
                                       range(len(self.carriers))],
                                      slots_rel,
-                                     [rx.scramb_init for rx in self.carriers])
+                                     [rx.scramb_init for rx in self.carriers],
+                                     packed=self.control_plane == "native")
         if self.control_plane == "native":
             self._walk_native(slots_rel, events_rel, decoded)
         else:
@@ -136,69 +137,59 @@ class MultiCarrierReceiver:
     def _walk_native(self, slots_rel, events_rel, decoded):
         """One C++ executor call for the whole chunk: per-carrier TDMA
         time / scrambling-code bookkeeping stays in (cheap) host Python,
-        all MAC/LLC/MLE parsing runs in native/umac_exec.cpp."""
+        all MAC/LLC/MLE parsing runs in native/umac_exec.cpp.
+
+        Consumes decode_slots_multi's PACKED contract: one fetched
+        [n, 408] row per slot in entry order (kind-selected A/B/BBK
+        type-1 bits + CRC flags), so the executor's bit buffer is a
+        flat view with arithmetic offsets — no per-slot array fetches
+        or copies; t4 stays on device and is fetched in ONE batched
+        gather only for the slots the AACH marks as traffic."""
         from tetra_tpu.utils.bits import bits_to_uint
         from tetra_tpu.ops.scramble import scramb_get_init
-        kind_num = {"SYNC": 0, "SCHF": 1, "NDB": 2}
-        parts, recs, t4_store = [], [], []
-        off = 0
-
-        def put(arr):
-            nonlocal off
-            a = np.asarray(arr, np.uint8)
-            parts.append(a)
-            o = off
-            off += len(a)
-            return o, len(a)
-
-        empty = (0, 0)
+        from tetra_tpu.rx import PACK_LEN_A, PACK_LEN_B, _PACK_A, _PACK_B, \
+            _PACK_BITS
+        pk = decoded["packed"]
+        kinds_arr = decoded["kinds"]
+        t4_pos = decoded["t4_pos"]
+        recs, t4_meta = [], []
+        m = 0
+        off_bbk = _PACK_A + _PACK_B
         for c, rx in enumerate(self.carriers):
             t = rx.time
-            ev, sl, dec = events_rel[c], slots_rel[c], decoded[c]
+            ev, sl = events_rel[c], slots_rel[c]
             ei = 0
-            for s, d in zip(sl, dec):
+            for s in sl:
                 while ei < len(ev) and ev[ei].seq <= s.seq:
                     if ev[ei].kind == "burst":
                         t.add_tn(1)
                         rx.stats.bursts += 1
                         rx.stats.slots += 1
                     ei += 1
-                kn = kind_num[d["kind"]]
-                if kn == 0:
-                    sb1 = d["SB1"]
-                    okA = bool(np.asarray(sb1.crc_ok))
-                    if okA:  # SYNC PDU side effects (tetra_lower_mac.c:283-317)
-                        t1 = np.asarray(sb1.type1)
-                        rx.colour_code = bits_to_uint(t1[4:10])
-                        t.tn = bits_to_uint(t1[10:12]) + 1
-                        t.fn = bits_to_uint(t1[12:17])
-                        t.mn = bits_to_uint(t1[17:23])
-                        rx.mcc = bits_to_uint(t1[31:41])
-                        rx.mnc = bits_to_uint(t1[41:55])
-                        rx.scramb_init = scramb_get_init(rx.mcc, rx.mnc,
-                                                         rx.colour_code)
-                    a = put(sb1.type1)
-                    bb = put(d["BBK"].type1)
-                    b = put(d["SB2"].type1)
-                    okB = bool(np.asarray(d["SB2"].crc_ok))
-                elif kn == 1:
-                    blk = d["SCH_F"]
-                    okA, okB = bool(np.asarray(blk.crc_ok)), 0
-                    a = put(blk.type1)
-                    bb = put(d["BBK"].type1)
-                    b = empty
-                else:
-                    okA = bool(np.asarray(d["NDB1"].crc_ok))
-                    okB = bool(np.asarray(d["NDB2"].crc_ok))
-                    a = put(d["NDB1"].type1)
-                    bb = put(d["BBK"].type1)
-                    b = put(d["NDB2"].type1)
+                row = pk[m]
+                kn = int(kinds_arr[m])
+                okA, okB = int(row[_PACK_BITS]), int(row[_PACK_BITS + 1])
+                if kn == 0 and okA:
+                    # SYNC PDU side effects (tetra_lower_mac.c:283-317)
+                    t1 = row
+                    rx.colour_code = bits_to_uint(t1[4:10])
+                    t.tn = bits_to_uint(t1[10:12]) + 1
+                    t.fn = bits_to_uint(t1[12:17])
+                    t.mn = bits_to_uint(t1[17:23])
+                    rx.mcc = bits_to_uint(t1[31:41])
+                    rx.mnc = bits_to_uint(t1[41:55])
+                    rx.scramb_init = scramb_get_init(rx.mcc, rx.mnc,
+                                                     rx.colour_code)
+                base = m * _PACK_BITS
                 ref = -1
-                if "t4" in d:
-                    ref = len(t4_store)
-                    t4_store.append((rx, d["t4"], t.tn))
-                recs.append((c, kn, t.tn, t.fn, t.mn, int(okA), int(okB),
-                             a[0], a[1], bb[0], bb[1], b[0], b[1], ref))
+                if kn != 0:
+                    ref = len(t4_meta)
+                    t4_meta.append((rx, kn, t4_pos[m], t.tn))
+                recs.append((c, kn, t.tn, t.fn, t.mn, okA, okB,
+                             base, PACK_LEN_A[kn],
+                             base + off_bbk, 14,
+                             base + _PACK_A, PACK_LEN_B[kn], ref))
+                m += 1
             while ei < len(ev):
                 if ev[ei].kind == "burst":
                     t.add_tn(1)
@@ -208,8 +199,8 @@ class MultiCarrierReceiver:
 
         if not recs:
             return
-        bits = (np.concatenate(parts) if parts
-                else np.zeros(0, np.uint8))
+        bits = np.ascontiguousarray(pk[:, :_PACK_BITS],
+                                    dtype=np.uint8).reshape(-1)
         evd = self.native_cp.walk(bits, np.asarray(recs, np.int32))
         self.native_events.append(evd)
         # stats + traffic dumps from the event stream
@@ -222,9 +213,26 @@ class MultiCarrierReceiver:
                 rx.stats.crc_ok += 1
             else:
                 rx.stats.crc_wrong += 1
-        for i in np.flatnonzero(kinds == EV.TRAFFIC):
-            # d["t4"] is already the right payload per kind (full slot
-            # for SCH/F, blk2 for NDB half-slot stealing)
-            rx, t4, tn = t4_store[int(evd["a"][i])]
-            rx._dump_traffic(np.asarray(t4), usage=int(evd["c"][i]),
-                             tsn=tn - 1, ssi=0)
+        tr = np.flatnonzero(kinds == EV.TRAFFIC)
+        if len(tr):
+            # ONE batched device gather for exactly the traffic slots'
+            # t4 payloads (full slot for SCH/F, blk2 for NDB stealing)
+            metas = [t4_meta[int(evd["a"][i])] for i in tr]
+            rows_f = [i4 for _, kn, i4, _ in metas if kn == 1]
+            rows_2 = [i4 for _, kn, i4, _ in metas if kn == 2]
+            got_f = (np.asarray(jnp.take(decoded["t4_full"],
+                                         jnp.asarray(rows_f), axis=0))
+                     if rows_f else None)
+            got_2 = (np.asarray(jnp.take(decoded["t4_b2"],
+                                         jnp.asarray(rows_2), axis=0))
+                     if rows_2 else None)
+            nf = n2 = 0
+            for i, (rx, kn, i4, tn) in zip(tr, metas):
+                if kn == 1:
+                    t4 = got_f[nf]
+                    nf += 1
+                else:
+                    t4 = got_2[n2]
+                    n2 += 1
+                rx._dump_traffic(t4, usage=int(evd["c"][i]),
+                                 tsn=tn - 1, ssi=0)

@@ -1,0 +1,92 @@
+"""End-to-end MultiCarrierReceiver benchmark: N carriers of raw hard
+bits (acquisition from garbage, steady slots, mixed SYNC/SCH_F
+traffic) through sync_vec + fused FEC + the native control plane, as
+one receiver object processing chunked input — the integration-level
+number, not a kernel number. Prints one JSON line.
+
+Usage: python tools/bench_mc_e2e.py [n_carriers] [n_frames] [chunks]
+"""
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tetra_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import jax.numpy as jnp
+
+from tetra_tpu import tx, testpdu
+from tetra_tpu.ops.scramble import scramb_get_init
+from tetra_tpu.rx_multi import MultiCarrierReceiver
+
+INIT = scramb_get_init(262, 42, 1)
+BITRATE = 36_000.0  # bits/s per carrier: real-time reference
+
+
+def make_stream(rng, n_frames):
+    """One carrier's bit stream: garbage, then n_frames TDMA frames of
+    [SYNC, SCH_F, SCH_F, SCH_F] bursts."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        sync = np.asarray(tx.make_sync_burst(
+            testpdu.make_sync_pdu(mcc=262, mnc=42, cc=1),
+            testpdu.make_sysinfo_pdu(),
+            testpdu.make_access_assign_bits(), jnp.uint32(INIT)), np.uint8)
+        schf = [np.asarray(tx.make_schf_burst(
+            testpdu.make_resource_pdu(ssi=0x400 + i),
+            testpdu.make_access_assign_bits(), jnp.uint32(INIT)), np.uint8)
+            for i in range(4)]
+    frames = []
+    for f in range(n_frames):
+        frames.append(sync)
+        for tn in range(3):
+            frames.append(schf[(f + tn) % 4])
+    return np.concatenate([rng.integers(0, 2, 731).astype(np.uint8)]
+                          + frames)
+
+
+def main():
+    n_car = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    rng = np.random.default_rng(0)
+    row = make_stream(rng, n_frames)
+    bits = np.tile(row, (n_car, 1))
+    # stagger carriers a little so offsets differ (realistic lock state)
+    for c in range(n_car):
+        bits[c] = np.roll(bits[c], c % 17)
+        bits[c, : c % 17] = rng.integers(0, 2, c % 17)
+    T = bits.shape[1]
+    cuts = np.linspace(0, T, n_chunks + 1).astype(int)
+
+    def run():
+        mc = MultiCarrierReceiver(np.zeros(n_car), fs=25_000.0 * n_car,
+                                  control_plane="native")
+        for k in range(n_chunks):
+            stats = mc.process_bits(bits[:, cuts[k]:cuts[k + 1]])
+        return mc, stats
+
+    mc, stats = run()          # warm (compile)
+    t0 = time.perf_counter()
+    mc, stats = run()
+    dt = time.perf_counter() - t0
+
+    crc_ok = sum(s.crc_ok for s in stats)
+    crc_bad = sum(s.crc_wrong for s in stats)
+    n_events = sum(len(e["kind"]) for e in mc.native_events)
+    stream_s = T / BITRATE
+    rt_mult = stream_s / (dt / 1)  # x real time for ALL carriers
+    print(json.dumps({
+        "n_carriers": n_car, "bits_per_carrier": T, "chunks": n_chunks,
+        "wall_s": round(dt, 3), "stream_s": round(stream_s, 3),
+        "crc_ok": int(crc_ok), "crc_err": int(crc_bad),
+        "native_events": n_events,
+        "realtime_carriers_e2e": round(n_car * rt_mult, 1),
+        "mbits_per_s": round(n_car * T / dt / 1e6, 1)}))
+    assert crc_ok > 0 and crc_ok >= 0.9 * (crc_ok + crc_bad), \
+        (crc_ok, crc_bad)
+
+
+if __name__ == "__main__":
+    main()
