@@ -230,7 +230,18 @@ class MultiSync:
             jnp.asarray(np.maximum(rel(cy.nfs), -1)),
             jnp.asarray(cy.slot_index.astype(np.int32) * 0),
             np.int32(cy.fed - base_offset), steps, self.feed)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        # three device->host transfers, not one per array: each fetch
+        # RPC costs ~tens of ms on a tunneled device, and this method
+        # runs once per ingest chunk
+        i8_keys = ("burst", "emit", "found", "bad", "lost", "col")
+        i32_keys = ("slot", "found_rel", "found_q", "bad_rel")
+        pk8 = np.asarray(jnp.stack([out[k].astype(jnp.int8)
+                                    for k in i8_keys]))
+        pk32 = np.asarray(jnp.stack([out[k] for k in i32_keys]))
+        cyv = np.asarray(jnp.stack([st, bs, nb, nfs, si]))
+        out = {k: pk8[i] for i, k in enumerate(i8_keys)}
+        out.update({k: pk32[i] for i, k in enumerate(i32_keys)})
+        st, bs, nb, nfs, si = cyv
 
         # rebuild ordered per-carrier event/slot lists (host, numpy masks)
         seq0 = 0  # per-carrier seq restarts per chunk; ordering is per step
