@@ -54,41 +54,39 @@ def sharded_burst_decode(mesh: Mesh, axis: str = "carrier"):
     fn(bursts [C, S, 510] int8, inits [C] uint32, kinds [C, S] int32)
     -> dict of decoded blocks + global CRC-OK count (psum over chips).
 
-    kinds: 0 = sync burst, 1 = SCH/F normal burst (decode paths are both
-    evaluated and selected — redundant compute instead of divergent
-    control flow, SURVEY.md §7.3).
+    kinds: 0 = SYNC / 1 = SCH/F / 2 = NDB / -1 = none (from
+    steady.verify_train_seq). Routes through the kind-compacted fused
+    decode (lmac.fused): ONE segmented-Viterbi pass per chip decodes
+    every slot under its own interpretation, so each kind's fields are
+    only meaningful on slots OF that kind.
     """
     spec_b = P(axis, None, None)
     spec_i = P(axis)
     spec_k = P(axis, None)
 
     def step(bursts, inits, kinds):
-        inits_b = inits[:, None].astype(jnp.uint32)
-        sync = lmac.decode_sync_burst(bursts, inits_b)
-        schf = lmac.decode_schf_burst(bursts, inits_b)
-        is_sync = (kinds == 0)
-        crc_ok = jnp.where(is_sync,
-                           sync["SB1"].crc_ok & sync["SB2"].crc_ok,
-                           schf["SCH_F"].crc_ok)
-        total_ok = jax.lax.psum(jnp.sum(crc_ok.astype(jnp.int32)), axis)
-        return {
-            "sb1_type1": sync["SB1"].type1, "sb1_ok": sync["SB1"].crc_ok,
-            "sb2_type1": sync["SB2"].type1, "sb2_ok": sync["SB2"].crc_ok,
-            "bbk_type1": sync["BBK"].type1,
-            "schf_type1": schf["SCH_F"].type1, "schf_ok": schf["SCH_F"].crc_ok,
-            "crc_ok_total": total_ok,
-        }
+        from tetra_tpu.lmac import fused as fused_mod
+        res = fused_mod.decode_slots_fused(bursts,
+                                           inits[:, None].astype(jnp.uint32),
+                                           kinds)
+        total_ok = jax.lax.psum(jnp.sum(res["crc_ok"].astype(jnp.int32)),
+                                axis)
+        out = {"crc_ok": res["crc_ok"], "crc_ok_total": total_ok,
+               "bbk_type1": res["bbk"].type1}
+        for k in ("sb1", "sb2", "schf", "ndb1", "ndb2"):
+            out[k + "_type1"] = res[k].type1
+            out[k + "_ok"] = res[k].crc_ok
+        return out
 
+    out_specs = {"crc_ok": spec_k, "crc_ok_total": P(),
+                 "bbk_type1": spec_b}
+    for k in ("sb1", "sb2", "schf", "ndb1", "ndb2"):
+        out_specs[k + "_type1"] = spec_b
+        out_specs[k + "_ok"] = spec_k
     sharded = shard_map(
         step, mesh=mesh,
         in_specs=(spec_b, spec_i, spec_k),
-        out_specs={
-            "sb1_type1": spec_b, "sb1_ok": spec_k,
-            "sb2_type1": spec_b, "sb2_ok": spec_k,
-            "bbk_type1": spec_b,
-            "schf_type1": spec_b, "schf_ok": spec_k,
-            "crc_ok_total": P(),
-        },
+        out_specs=out_specs,
         check_rep=False)
     return jax.jit(sharded)
 
