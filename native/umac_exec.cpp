@@ -201,7 +201,22 @@ struct Carrier {
     Defrag defrag[256];
     int is_traffic = 0;
     bool blk1_stolen = false, blk2_stolen = false;
+    // TDMA clock + cell identity, owned by the walk2 entry point
+    // (reference tetra_burst_sync.c:113 clock advance +
+    // tetra_lower_mac.c:283-310 SYNC side effects). Counters start at
+    // the reference's talloc_zero'd invalid 0s (tetra-rx.c:49).
+    int tn = 0, fn = 0, mn = 0;
+    int colour = 0, mcc = 0, mnc = 0;
 };
+
+// one TDMA slot advance, replicating tetra_tpu/tdma.py add_tn(1)
+// normalisation exactly (incl. its start-from-zero behaviour)
+inline void tdma_add_tn1(Carrier &c) {
+    c.tn += 1;
+    if (c.tn > 4) { c.fn += c.tn / 4; c.tn %= 4; }
+    if (c.fn > 18) { c.mn += c.fn / 18; c.fn %= 18; }
+    if (c.mn > 60) c.mn %= 60;
+}
 
 struct Ctx {
     std::vector<Carrier> carriers;
@@ -545,6 +560,56 @@ void process_block(Ctx &cx, Carrier &car, const Bits &all, int lchan,
     }
 }
 
+// one aligned slot's block dispatch (rx.py::_walk_slot semantics:
+// tp_sap_udata_ind routing incl. BNCH prediction, traffic gating and
+// slot stealing, tetra_lower_mac.c:115-127/178-241); shared by walk
+// (caller-supplied time) and walk2 (native TDMA clock)
+void walk_slot(Ctx &cx, Carrier &car, const Bits &blkA, const Bits &bbk,
+               const Bits &blkB, int kind, int okA, int okB,
+               int tn, int fn, int mn, int slot_ref) {
+    cx.cur_slot_tn = tn >= 0 && tn < NR_FRAGSLOTS ? tn : 0;
+    if (kind == 0) {  // SYNC: SB1 -> BSCH, BBK -> AACH, SB2
+        cx.emit(EV_CRC, 0, okA);
+        process_block(cx, car, blkA, LCH_BSCH, okA, fn);
+        process_block(cx, car, bbk, LCH_AACH, 1, fn);
+        int lchan = (fn == 18 && tn == 4 - ((mn + 3) % 4))
+            ? LCH_BNCH : LCH_UNKNOWN;
+        cx.emit(EV_CRC, 1, okB);
+        process_block(cx, car, blkB, lchan, okB, fn);
+    } else if (kind == 1) {  // SCH/F
+        process_block(cx, car, bbk, LCH_AACH, 1, fn);
+        if (car.is_traffic) {
+            cx.emit(EV_TRAFFIC, slot_ref, 0, car.is_traffic, tn);
+        } else {
+            cx.emit(EV_CRC, 2, okA);
+            process_block(cx, car, blkA, LCH_SCH_F, okA, fn);
+        }
+    } else {  // NDB
+        process_block(cx, car, bbk, LCH_AACH, 1, fn);
+        if (car.is_traffic) {
+            car.blk1_stolen = true;
+            cx.emit(EV_CRC, 3, okA);
+            process_block(cx, car, blkA, LCH_UNKNOWN, okA, fn);
+            if (car.blk2_stolen) {
+                cx.emit(EV_CRC, 3, okB);
+                process_block(cx, car, blkB, LCH_UNKNOWN, okB, fn);
+            } else {
+                cx.emit(EV_TRAFFIC, slot_ref, 1, car.is_traffic, tn);
+            }
+        } else {
+            cx.emit(EV_CRC, 3, okA);
+            process_block(cx, car, blkA, LCH_UNKNOWN, okA, fn);
+            cx.emit(EV_CRC, 3, okB);
+            process_block(cx, car, blkB, LCH_UNKNOWN, okB, fn);
+        }
+    }
+}
+
+// walk2 packed-row geometry (rx.py _PACK_* layout, 408-column rows)
+constexpr int ROW_STRIDE = 408, OFF_B = 268, OFF_BBK = 392;
+constexpr int LEN_A[3] = {60, 268, 124};
+constexpr int LEN_B[3] = {124, 0, 124};
+
 }  // namespace
 
 extern "C" {
@@ -615,50 +680,78 @@ int64_t tetra_umac_walk(void *p, const uint8_t *bits,
         if (carrier < 0 || carrier >= (int)cx.carriers.size()) continue;
         Carrier &car = cx.carriers[carrier];
         cx.cur_carrier = carrier;
-        cx.cur_slot_tn = tn >= 0 && tn < NR_FRAGSLOTS ? tn : 0;
         Bits blkA{bits + r[7], r[8]};
         Bits bbk{bits + r[9], r[10]};
         Bits blkB{bits + r[11], r[12]};
-        int slot_ref = r[13];
-
-        if (kind == 0) {  // SYNC: SB1 -> BSCH, BBK -> AACH, SB2
-            cx.emit(EV_CRC, 0, okA);
-            process_block(cx, car, blkA, LCH_BSCH, okA, fn);
-            process_block(cx, car, bbk, LCH_AACH, 1, fn);
-            int lchan = (fn == 18 && tn == 4 - ((mn + 3) % 4))
-                ? LCH_BNCH : LCH_UNKNOWN;
-            cx.emit(EV_CRC, 1, okB);
-            process_block(cx, car, blkB, lchan, okB, fn);
-        } else if (kind == 1) {  // SCH/F
-            process_block(cx, car, bbk, LCH_AACH, 1, fn);
-            if (car.is_traffic) {
-                cx.emit(EV_TRAFFIC, slot_ref, 0, car.is_traffic);
-            } else {
-                cx.emit(EV_CRC, 2, okA);
-                process_block(cx, car, blkA, LCH_SCH_F, okA, fn);
-            }
-        } else {  // NDB
-            process_block(cx, car, bbk, LCH_AACH, 1, fn);
-            if (car.is_traffic) {
-                car.blk1_stolen = true;
-                cx.emit(EV_CRC, 3, okA);
-                process_block(cx, car, blkA, LCH_UNKNOWN, okA, fn);
-                if (car.blk2_stolen) {
-                    cx.emit(EV_CRC, 3, okB);
-                    process_block(cx, car, blkB, LCH_UNKNOWN, okB, fn);
-                } else {
-                    cx.emit(EV_TRAFFIC, slot_ref, 1, car.is_traffic);
-                }
-            } else {
-                cx.emit(EV_CRC, 3, okA);
-                process_block(cx, car, blkA, LCH_UNKNOWN, okA, fn);
-                cx.emit(EV_CRC, 3, okB);
-                process_block(cx, car, blkB, LCH_UNKNOWN, okB, fn);
-            }
-        }
+        walk_slot(cx, car, blkA, bbk, blkB, kind, okA, okB, tn, fn, mn,
+                  r[13]);
     }
     if (overflow) *overflow = (int32_t)cx.overflow;
     return cx.ev_n;
+}
+
+// Self-clocked whole-slot walk: like tetra_umac_walk, but the TDMA
+// clock and the SYNC-PDU side effects live HERE instead of per-slot
+// Python (reference tetra_burst_sync.c:113 + tetra_lower_mac.c:283-310;
+// the fill from rx.py::_rx_sb1 field offsets).
+//
+// bits: concatenated 408-column packed-decode rows (ubits), one row per
+// record, rx.py _PACK_* layout. recs: n x 7 int32 = carrier, kind
+// (0 SYNC/1 SCHF/2 NDB), okA, okB, burst_delta (TDMA slots to advance
+// BEFORE dispatch, incl. this slot's own), row, slot_ref. tails:
+// per-carrier trailing advances after each carrier's last record.
+int64_t tetra_umac_walk2(void *p, const uint8_t *bits,
+                         const int32_t *recs, int64_t n_recs,
+                         const int32_t *tails, int64_t n_tails,
+                         int32_t *ev_car, int32_t *ev_kind,
+                         int64_t *ev_a, int64_t *ev_b, int64_t *ev_c,
+                         int64_t *ev_d, int64_t max_events,
+                         int32_t *overflow) {
+    Ctx &cx = *(Ctx *)p;
+    cx.ev_car = ev_car; cx.ev_kind = ev_kind;
+    cx.ev_a = ev_a; cx.ev_b = ev_b; cx.ev_c = ev_c; cx.ev_d = ev_d;
+    cx.ev_max = max_events; cx.ev_n = 0; cx.overflow = 0;
+
+    for (int64_t i = 0; i < n_recs; i++) {
+        const int32_t *r = recs + 7 * i;
+        int carrier = r[0], kind = r[1], okA = r[2], okB = r[3];
+        if (carrier < 0 || carrier >= (int)cx.carriers.size()) continue;
+        Carrier &car = cx.carriers[carrier];
+        cx.cur_carrier = carrier;
+        for (int k = 0; k < r[4]; k++) tdma_add_tn1(car);
+        const uint8_t *row = bits + (int64_t)r[5] * ROW_STRIDE;
+        Bits blkA{row, LEN_A[kind]};
+        Bits bbk{row + OFF_BBK, 14};
+        Bits blkB{row + OFF_B, LEN_B[kind]};
+        if (kind == 0 && okA) {
+            // SYNC PDU side effects (tetra_lower_mac.c:283-310)
+            car.colour = (int)blkA.u(4, 6);
+            car.tn = (int)blkA.u(10, 2) + 1;
+            car.fn = (int)blkA.u(12, 5);
+            car.mn = (int)blkA.u(17, 6);
+            car.mcc = (int)blkA.u(31, 10);
+            car.mnc = (int)blkA.u(41, 14);
+        }
+        walk_slot(cx, car, blkA, bbk, blkB, kind, okA, okB,
+                  car.tn, car.fn, car.mn, r[6]);
+    }
+    for (int64_t c = 0; c < n_tails && c < (int64_t)cx.carriers.size();
+         c++)
+        for (int k = 0; k < tails[c]; k++) tdma_add_tn1(cx.carriers[c]);
+    if (overflow) *overflow = (int32_t)cx.overflow;
+    return cx.ev_n;
+}
+
+// per-carrier walk2 state readback: out is [n_carriers, 6] int32 =
+// tn, fn, mn, colour, mcc, mnc
+void tetra_umac_get_states(void *p, int32_t *out) {
+    Ctx &cx = *(Ctx *)p;
+    for (size_t c = 0; c < cx.carriers.size(); c++) {
+        const Carrier &car = cx.carriers[c];
+        int32_t *o = out + 6 * c;
+        o[0] = car.tn; o[1] = car.fn; o[2] = car.mn;
+        o[3] = car.colour; o[4] = car.mcc; o[5] = car.mnc;
+    }
 }
 
 }  // extern "C"

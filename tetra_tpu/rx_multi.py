@@ -9,10 +9,19 @@ device programs over the carrier axis:
   lock state machines                     phy.sync_vec lax.scan (device)
   two-phase FEC decode                    ONE program per burst kind
                                           across ALL carriers  (device)
-  upper MAC / LLC / MLE walk              per-carrier host control plane
+  upper MAC / LLC / MLE walk              host control plane
 
-so host time per chunk is flat in carrier count up to the byte-scale
-control plane (which processes only decoded type-1 bits).
+Two control planes:
+
+* "python" walks each carrier's UpperMac per slot (full logging,
+  decryption) — MultiSync + rx.decode_slots_multi + TetraReceiver.
+* "native" routes the WHOLE chunk through tetra_tpu.fastpath: one
+  fused device program (sync + FEC + packing, single fetched bundle)
+  and one C++ executor call (native/umac_exec.cpp::tetra_umac_walk2)
+  that owns the TDMA clock; per-chunk host work is a handful of numpy
+  ops, flat in carrier count. Chunks are pipelined one deep: pass
+  final=False while streaming and the fetch+walk of chunk k overlaps
+  the device compute of chunk k+1.
 """
 from __future__ import annotations
 
@@ -54,9 +63,6 @@ class MultiCarrierReceiver:
                 keystore_path=keystore_path,
                 dumpdir=f"{dumpdir}/carrier{i}" if dumpdir else None,
                 log=carrier_log))
-        self.sync = MultiSync(n_carriers)
-        self._buf = np.zeros((n_carriers, 0), dtype=np.uint8)
-        self._buf_base = 0
         # control plane: "python" walks each carrier's UpperMac (full
         # logging, decryption); "native" routes all carriers' decoded
         # blocks through ONE C++ executor call per chunk (structured
@@ -67,9 +73,16 @@ class MultiCarrierReceiver:
         self.native_events = []   # accumulated event dicts (native mode)
         if control_plane == "native":
             from tetra_tpu.umac.native_exec import NativeControlPlane
+            from tetra_tpu.fastpath import FastChunkPipeline
             self.native_cp = NativeControlPlane(n_carriers)
+            self._fast = FastChunkPipeline(n_carriers)
+            self._pending = []
+        else:
+            self.sync = MultiSync(n_carriers)
+            self._buf = np.zeros((n_carriers, 0), dtype=np.uint8)
+            self._buf_base = 0
 
-    def process_iq(self, wideband_iq) -> list[RxStats]:
+    def process_iq(self, wideband_iq, final: bool = True) -> list[RxStats]:
         """One chunk of wideband complex samples through the full chain.
 
         Uses the mixer-bank channelizer by default; constructing with
@@ -87,17 +100,31 @@ class MultiCarrierReceiver:
             out_r, out_i = channelizer.channelize_ri(
                 re, im, jnp.asarray(self.offsets), fs=self.fs)
         bits = np.asarray(dqpsk.demodulate_hard_ri(out_r, out_i, sps=self.sps))
-        return self.process_bits(bits)
+        return self.process_bits(bits, final=final)
 
-    def process_bits(self, bits) -> list[RxStats]:
+    def process_bits(self, bits, final: bool = True) -> list[RxStats]:
         """Per-carrier hard bits [C, T] -> per-carrier decode stats.
 
-        All carriers synchronise in one device scan (phy.sync_vec) and
-        FEC-decode in one device program per burst kind; only the
-        byte-scale upper-MAC walk runs per carrier on host.
+        final=False keeps one chunk in flight (native plane): the
+        fetch + control-plane walk of this chunk happens during the
+        NEXT call's device compute. Stats are complete once a
+        final=True call (the default) drains the pipeline.
         """
         bits = np.asarray(bits, dtype=np.uint8)
         assert bits.ndim == 2 and bits.shape[0] == len(self.carriers)
+        if self.control_plane == "native":
+            h = self._fast.submit(bits)
+            if h is not None:
+                self._pending.append(h)
+            while self._pending and (final or len(self._pending) > 1):
+                self._collect_walk(self._pending.pop(0))
+            return [rx.stats for rx in self.carriers]
+        return self._process_bits_python(bits)
+
+    def _process_bits_python(self, bits) -> list[RxStats]:
+        """Python control plane: all carriers synchronise in one device
+        scan (phy.sync_vec) and FEC-decode in one device program per
+        burst kind; the byte-scale upper-MAC walk runs per carrier."""
         self._buf = np.concatenate([self._buf, bits & 1], axis=1)
 
         slots_abs, events_abs = self.sync.scan(self._buf,
@@ -116,17 +143,13 @@ class MultiCarrierReceiver:
         decoded = decode_slots_multi([self._buf[c] for c in
                                       range(len(self.carriers))],
                                      slots_rel,
-                                     [rx.scramb_init for rx in self.carriers],
-                                     packed=self.control_plane == "native")
-        if self.control_plane == "native":
-            self._walk_native(slots_rel, events_rel, decoded)
-        else:
-            for c, rx in enumerate(self.carriers):
-                rx._ev_ptr = 0
-                for s, d in zip(slots_rel[c], decoded[c]):
-                    rx._flush_events(events_rel[c], s.seq)
-                    rx._walk_slot(d)
-                rx._flush_events(events_rel[c], 1 << 62)
+                                     [rx.scramb_init for rx in self.carriers])
+        for c, rx in enumerate(self.carriers):
+            rx._ev_ptr = 0
+            for s, d in zip(slots_rel[c], decoded[c]):
+                rx._flush_events(events_rel[c], s.seq)
+                rx._walk_slot(d)
+            rx._flush_events(events_rel[c], 1 << 62)
 
         keep = max(self._buf_base, self.sync.min_buf_start())
         if keep > self._buf_base:
@@ -134,105 +157,64 @@ class MultiCarrierReceiver:
             self._buf_base = keep
         return [rx.stats for rx in self.carriers]
 
-    def _walk_native(self, slots_rel, events_rel, decoded):
-        """One C++ executor call for the whole chunk: per-carrier TDMA
-        time / scrambling-code bookkeeping stays in (cheap) host Python,
-        all MAC/LLC/MLE parsing runs in native/umac_exec.cpp.
-
-        Consumes decode_slots_multi's PACKED contract: one fetched
-        [n, 408] row per slot in entry order (kind-selected A/B/BBK
-        type-1 bits + CRC flags), so the executor's bit buffer is a
-        flat view with arithmetic offsets — no per-slot array fetches
-        or copies; t4 stays on device and is fetched in ONE batched
-        gather only for the slots the AACH marks as traffic."""
-        from tetra_tpu.utils.bits import bits_to_uint
-        from tetra_tpu.ops.scramble import scramb_get_init
-        from tetra_tpu.rx import PACK_LEN_A, PACK_LEN_B, _PACK_A, _PACK_B, \
-            _PACK_BITS
-        pk = decoded["packed"]
-        kinds_arr = decoded["kinds"]
-        t4_pos = decoded["t4_pos"]
-        recs, t4_meta = [], []
-        m = 0
-        off_bbk = _PACK_A + _PACK_B
-        for c, rx in enumerate(self.carriers):
-            t = rx.time
-            ev, sl = events_rel[c], slots_rel[c]
-            ei = 0
-            for s in sl:
-                while ei < len(ev) and ev[ei].seq <= s.seq:
-                    if ev[ei].kind == "burst":
-                        t.add_tn(1)
-                        rx.stats.bursts += 1
-                        rx.stats.slots += 1
-                    ei += 1
-                row = pk[m]
-                kn = int(kinds_arr[m])
-                okA, okB = int(row[_PACK_BITS]), int(row[_PACK_BITS + 1])
-                if kn == 0 and okA:
-                    # SYNC PDU side effects (tetra_lower_mac.c:283-317)
-                    t1 = row
-                    rx.colour_code = bits_to_uint(t1[4:10])
-                    t.tn = bits_to_uint(t1[10:12]) + 1
-                    t.fn = bits_to_uint(t1[12:17])
-                    t.mn = bits_to_uint(t1[17:23])
-                    rx.mcc = bits_to_uint(t1[31:41])
-                    rx.mnc = bits_to_uint(t1[41:55])
-                    rx.scramb_init = scramb_get_init(rx.mcc, rx.mnc,
-                                                     rx.colour_code)
-                base = m * _PACK_BITS
-                ref = -1
-                if kn != 0:
-                    ref = len(t4_meta)
-                    t4_meta.append((rx, kn, t4_pos[m], t.tn))
-                recs.append((c, kn, t.tn, t.fn, t.mn, okA, okB,
-                             base, PACK_LEN_A[kn],
-                             base + off_bbk, 14,
-                             base + _PACK_A, PACK_LEN_B[kn], ref))
-                m += 1
-            while ei < len(ev):
-                if ev[ei].kind == "burst":
-                    t.add_tn(1)
-                    rx.stats.bursts += 1
-                    rx.stats.slots += 1
-                ei += 1
-
-        if not recs:
-            return
-        bits = np.ascontiguousarray(pk[:, :_PACK_BITS],
-                                    dtype=np.uint8).reshape(-1)
-        evd = self.native_cp.walk(bits, np.asarray(recs, np.int32))
-        self.native_events.append(evd)
-        # stats + traffic dumps from the event stream
+    def _collect_walk(self, h):
+        """Fetch one dispatched chunk and run the native control plane:
+        numpy record assembly (no per-slot Python) + ONE C++ walk that
+        advances the TDMA clocks and applies SYNC side effects."""
         from tetra_tpu.umac.native_exec import EV
+        d = self._fast.collect(h)
+        n = len(d["carrier"])
+        recs = np.column_stack([
+            d["carrier"], d["kind"], d["okA"], d["okB"], d["delta"],
+            np.arange(n, dtype=np.int32), d["slot_ref"]])
+        evd = self.native_cp.walk2(d["payload"].reshape(-1), recs,
+                                   d["tail"])
+        self.native_events.append(evd)
+
+        B = len(self.carriers)
+        adv = (np.bincount(d["carrier"], weights=d["delta"], minlength=B)
+               .astype(np.int64) + d["tail"])
         kinds = evd["kind"]
         cars = evd["carrier"]
-        for i in np.flatnonzero(kinds == EV.CRC):
-            rx = self.carriers[cars[i]]
-            if evd["b"][i]:
-                rx.stats.crc_ok += 1
-            else:
-                rx.stats.crc_wrong += 1
+        crc = kinds == EV.CRC
+        ok_c = np.bincount(cars[crc & (evd["b"] == 1)], minlength=B)
+        wr_c = np.bincount(cars[crc & (evd["b"] == 0)], minlength=B)
+        states = self.native_cp.get_states()
+        scr = d["scramb"]
+        for c, rx in enumerate(self.carriers):
+            if adv[c]:
+                rx.stats.bursts += int(adv[c])
+                rx.stats.slots += int(adv[c])
+            rx.stats.crc_ok += int(ok_c[c])
+            rx.stats.crc_wrong += int(wr_c[c])
+            rx.time.tn, rx.time.fn, rx.time.mn = (int(states[c, 0]),
+                                                  int(states[c, 1]),
+                                                  int(states[c, 2]))
+            rx.colour_code, rx.mcc, rx.mnc = (int(states[c, 3]),
+                                              int(states[c, 4]),
+                                              int(states[c, 5]))
+            rx.scramb_init = int(scr[c])
+
         tr = np.flatnonzero(kinds == EV.TRAFFIC)
         if len(tr):
             # ONE batched device gather for exactly the traffic slots'
             # t4 payloads (full slot for SCH/F, blk2 for NDB stealing)
-            metas = [t4_meta[int(evd["a"][i])] for i in tr]
-            rows_f = [i4 for _, kn, i4, _ in metas if kn == 1]
-            rows_2 = [i4 for _, kn, i4, _ in metas if kn == 2]
-            got_f = (np.asarray(jnp.take(decoded["t4_full"],
-                                         jnp.asarray(rows_f), axis=0))
-                     if rows_f else None)
-            got_2 = (np.asarray(jnp.take(decoded["t4_b2"],
-                                         jnp.asarray(rows_2), axis=0))
-                     if rows_2 else None)
+            refs = evd["a"][tr]
+            ndb = evd["b"][tr]
+            rows_f = refs[ndb == 0]
+            rows_2 = refs[ndb == 1]
+            got_f = (np.asarray(jnp.take(h.t4_full, jnp.asarray(rows_f),
+                                         axis=0)) if len(rows_f) else None)
+            got_2 = (np.asarray(jnp.take(h.t4_b2, jnp.asarray(rows_2),
+                                         axis=0)) if len(rows_2) else None)
             nf = n2 = 0
-            for i, (rx, kn, i4, tn) in zip(tr, metas):
-                if kn == 1:
+            for i in tr:
+                rx = self.carriers[cars[i]]
+                if evd["b"][i] == 0:
                     t4 = got_f[nf]
                     nf += 1
                 else:
                     t4 = got_2[n2]
                     n2 += 1
                 rx._dump_traffic(t4, usage=int(evd["c"][i]),
-                                 tsn=tn - 1, ssi=0)
+                                 tsn=int(evd["d"][i]) - 1, ssi=0)

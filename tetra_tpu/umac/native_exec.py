@@ -89,6 +89,18 @@ def _load():
     lib.tetra_umac_process.restype = ctypes.c_int64
     lib.tetra_umac_walk.argtypes = lib.tetra_umac_process.argtypes
     lib.tetra_umac_walk.restype = ctypes.c_int64
+    lib.tetra_umac_walk2.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
+    lib.tetra_umac_walk2.restype = ctypes.c_int64
+    lib.tetra_umac_get_states.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+    lib.tetra_umac_get_states.restype = None
     _lib = lib
     return _lib
 
@@ -139,6 +151,46 @@ class NativeControlPlane:
         Traffic slots emit EV.TRAFFIC(slot_ref, ndb_flag, usage) for the
         caller to dump; FEC blocks emit EV.CRC for stats."""
         return self._run("tetra_umac_walk", bits, recs, 14, events_per_rec)
+
+    def walk2(self, bits: np.ndarray, recs, tails,
+              events_per_rec: int = 32):
+        """Self-clocked walk: TDMA time + SYNC side effects run in C++
+        (native/umac_exec.cpp::tetra_umac_walk2). bits: concatenated
+        408-column packed-decode rows (ubits); recs [n, 7] int32 =
+        carrier, kind, okA, okB, burst_delta, row, slot_ref; tails [B]
+        per-carrier trailing TDMA advances."""
+        bits = np.ascontiguousarray(bits, dtype=np.uint8)
+        recs = np.ascontiguousarray(recs, dtype=np.int32).reshape(-1, 7)
+        tails = np.ascontiguousarray(tails, dtype=np.int32)
+        n = len(recs)
+        cap = n * events_per_rec + 1024
+        car = np.empty(cap, np.int32)
+        kind = np.empty(cap, np.int32)
+        a = np.empty(cap, np.int64)
+        b = np.empty(cap, np.int64)
+        c = np.empty(cap, np.int64)
+        d = np.empty(cap, np.int64)
+        ovf = ctypes.c_int32(0)
+        p8 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        p32 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        p64 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        m = self._lib.tetra_umac_walk2(
+            self._ctx, p8(bits), p32(recs), n, p32(tails), len(tails),
+            p32(car), p32(kind), p64(a), p64(b), p64(c), p64(d),
+            cap, ctypes.byref(ovf))
+        if ovf.value:
+            raise RuntimeError("native event buffer overflow; raise "
+                               "events_per_rec")
+        return {"carrier": car[:m], "kind": kind[:m], "a": a[:m],
+                "b": b[:m], "c": c[:m], "d": d[:m]}
+
+    def get_states(self) -> np.ndarray:
+        """Per-carrier walk2 state [B, 6] int32: tn fn mn colour mcc
+        mnc."""
+        out = np.zeros((self.n_carriers, 6), np.int32)
+        self._lib.tetra_umac_get_states(
+            self._ctx, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
 
     def _run(self, fn_name, bits, recs, rec_width, events_per_rec):
         bits = np.ascontiguousarray(bits, dtype=np.uint8)

@@ -64,7 +64,11 @@ def main():
         mc = MultiCarrierReceiver(np.zeros(n_car), fs=25_000.0 * n_car,
                                   control_plane="native")
         for k in range(n_chunks):
-            stats = mc.process_bits(bits[:, cuts[k]:cuts[k + 1]])
+            # streaming contract: mid-stream chunks keep one chunk in
+            # flight (fetch+walk of chunk k overlaps device compute of
+            # chunk k+1); the final call drains the pipeline
+            stats = mc.process_bits(bits[:, cuts[k]:cuts[k + 1]],
+                                    final=k == n_chunks - 1)
         return mc, stats
 
     mc, stats = run()          # warm (compile)
