@@ -429,6 +429,11 @@ int rx_resrc(Ctx &cx, Carrier &car, const Bits &in) {
     ResourceHdr r = decode_resource(b);
     int64_t tmpdu = r.bit_len;
     int64_t pdu_bits;
+    // eff mirrors msgb_l1len after truncation; a reserved length field
+    // (-22) drives the reference's tail below head, so the reported
+    // lengths go NEGATIVE (tetra_upper_mac.c:177-178) — replicated
+    // signed, matching upper_mac.py and the compiled oracle
+    int64_t eff = b.n;
     if (r.macpdu_length == LEN_2ND_STOLEN) {
         pdu_bits = -1;
         car.blk2_stolen = true;
@@ -436,18 +441,25 @@ int rx_resrc(Ctx &cx, Carrier &car, const Bits &in) {
     else if (r.macpdu_length == LEN_START_FRAG) pdu_bits = -1;
     else {
         pdu_bits = (int64_t)r.macpdu_length * 8;
-        if (pdu_bits > 0 && pdu_bits <= b.n) b = b.slice(0, pdu_bits);
+        if (pdu_bits > 0 && pdu_bits <= b.n) {
+            b = b.slice(0, pdu_bits);
+            eff = pdu_bits;
+        } else if (pdu_bits <= 0) {
+            b = b.slice(0, 0);
+            eff = pdu_bits;
+        }
     }
-    if (r.fill_bits) {
+    if (r.fill_bits && eff > 0) {
         int nfb = num_fill_bits(b);
         b = b.slice(0, b.n - nfb);
+        eff -= nfb;
     }
     // no keystore in the native plane: encrypted elements stay encrypted
-    int64_t l2len = b.n - tmpdu > 0 ? b.n - tmpdu : 0;
+    int64_t l2len = eff - tmpdu;
     cx.emit(EV_RESOURCE, r.addr_type, r.addr_value, r.macpdu_length,
             (l2len << 1) | r.is_encrypted);
     if (r.addr_type == 0) return -1;
-    if (l2len == 0 || r.is_encrypted) return (int)pdu_bits;
+    if (l2len <= 0 || r.is_encrypted) return (int)pdu_bits;
 
     Bits sdu = b.slice(tmpdu, b.n);
     if (r.macpdu_length != LEN_START_FRAG) {

@@ -1,0 +1,345 @@
+"""Upper-half differential parity vs the COMPILED reference.
+
+tools/ref_rx_full.c links the reference's actual upper MAC
+(/root/reference/src/tetra_upper_mac.c:157-385), LLC (tetra_llc.c:111-179
+incl. the advanced-link defragmenter), MLE (tetra_mle.c:20-53), the PDU
+codecs and crypto suite on top of the same PHY + lower MAC oracle chain
+used by tests/test_ref_parity.py.  These tests feed both receivers the
+same captures and diff FIELD-LEVEL upper-half decisions: MAC-RESOURCE
+headers (encryption mode, length field, L2 length, full address dump),
+fragment reassembly (start/cont/end lengths, accumulated totals, N203
+age-out), LLC PDU classification + FCS verdicts + TL-SDU lengths, MLE
+protocol-discriminator dispatch with PDU names, SYSINFO DL/UL carrier
+frequency computation, and ACCESS-ASSIGN field decoding."""
+import os
+import re
+import subprocess
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tetra_tpu import constants as C, tx, testpdu
+from tetra_tpu.rx import TetraReceiver
+from tetra_tpu.ops.crc import fcs32_np
+from tests.test_rx_e2e import MCC, MNC, CC, INIT
+from tests.test_ref_parity import REF, REPO, REF_SOURCES
+
+UPPER_SOURCES = REF_SOURCES + [
+    "tetra_upper_mac.c", "tetra_llc.c", "tetra_llc_pdu.c",
+    "tetra_mle.c", "tetra_mle_pdu.c", "tetra_mm_pdu.c",
+    "tetra_cmce_pdu.c", "tetra_sndcp_pdu.c",
+    "crypto/tetra_crypto.c", "crypto/tea1.c", "crypto/tea2.c",
+    "crypto/tea3.c", "crypto/taa1.c", "crypto/hurdle.c",
+]
+
+
+@pytest.fixture(scope="session")
+def ref_rx_full_bin(tmp_path_factory):
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not mounted")
+    out = str(tmp_path_factory.mktemp("refrxfull") / "ref_rx_full")
+    cmd = ["gcc", "-O1", "-o", out,
+           os.path.join(REPO, "tools/ref_rx_full.c")]
+    cmd += [os.path.join(REF, s) for s in UPPER_SOURCES]
+    cmd += ["-I" + os.path.join(REPO, "tools/stubs"), "-I" + REF]
+    subprocess.run(cmd, check=True)
+    return out
+
+
+# ---- oracle stdout -> ordered upper-half event list ----
+
+_PATTERNS = [
+    ("RESOURCE", re.compile(
+        r"RESOURCE Encr=(\d+)( DECRYPTED)? len_field=(-?\d+) "
+        r"l1_len=(-?\d+) l2_len=(-?\d+) Addr=(.*?\))"
+        r"(?= ChanAlloc| SlotGrant|:|\n)")),
+    ("TMSDU", re.compile(
+        r"TM-SDU\(([^)]+)\)(?: fcs=(OK|BAD) )? l3len=(\d+)")),
+    ("TLSDU", re.compile(r"TL-SDU\(([A-Za-z]+)\): [01]* (\S+)")),
+    ("FRAG_START", re.compile(r"FRAG-START slot=(\d+) len=(\d+) msgb=([01]*)")),
+    ("FRAG_CONT", re.compile(r"FRAG-CONT slot=(\d+) added=(\d+) msgb=([01]*)")),
+    ("FRAG_END", re.compile(r"FRAG-END slot=(\d+) added=(\d+) msgb=([01]*)")),
+    ("AGEOUT", re.compile(
+        r"FRAG: aged out old fragments for slot=(\d+) fragments=(\d+) "
+        r"length=(\d+)")),
+    ("NOSTART_FRAG", re.compile(
+        r"WARNING got fragment without start packet for slot=(\d+)")),
+    ("NOSTART_END", re.compile(
+        r"FRAG: got end frag with len (\d+) without start packet "
+        r"for slot=(\d+)")),
+    ("FRAG_ACTIVE", re.compile(r"WARNING: fragment slot still active")),
+    ("SYSINFO", re.compile(
+        r"BNCH SYSINFO \(DL (\d+) Hz, UL (\d+) Hz\), "
+        r"service_details 0x([0-9a-f]+) (CCK ID \d+|Hyperframe \d+)")),
+    ("AACH", re.compile(r"ACCESS-ASSIGN PDU: ([^\n]*)")),
+]
+
+
+def run_oracle_upper(binary, bits, dumpdir):
+    cap = os.path.join(dumpdir, "cap.bits")
+    np.asarray(bits, dtype=np.uint8).tofile(cap)
+    r = subprocess.run([binary, "-d", dumpdir, cap], capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    hits = []
+    for kind, pat in _PATTERNS:
+        for m in pat.finditer(r.stdout):
+            hits.append((m.start(), kind, m.groups()))
+    hits.sort()
+    out = []
+    for _, kind, g in hits:
+        if kind == "RESOURCE":
+            out.append(("RESOURCE", int(g[0]), int(g[2]), int(g[4]), g[5]))
+        elif kind == "TMSDU":
+            out.append(("TMSDU", g[0], g[1] or "", int(g[2])))
+        elif kind == "TLSDU":
+            out.append(("TLSDU", g[0], g[1]))
+        elif kind in ("FRAG_START", "FRAG_CONT", "FRAG_END"):
+            out.append((kind, int(g[0]), int(g[1]), len(g[2])))
+        elif kind == "AGEOUT":
+            out.append(("AGEOUT", int(g[0]), int(g[1]), int(g[2])))
+        elif kind == "NOSTART_FRAG":
+            out.append(("NOSTART_FRAG", int(g[0])))
+        elif kind == "NOSTART_END":
+            out.append(("NOSTART_END", int(g[1]), int(g[0])))
+        elif kind == "FRAG_ACTIVE":
+            out.append(("FRAG_ACTIVE",))
+        elif kind == "SYSINFO":
+            out.append(("SYSINFO", int(g[0]), int(g[1]), int(g[2], 16),
+                        g[3]))
+        elif kind == "AACH":
+            out.append(("AACH", g[0].strip()))
+    return out, r.stdout
+
+
+# ---- our receiver -> the same ordered event list ----
+
+_DEC_NAMES = {0: "unknown(0)", 1: "BL-ADATA", 2: "BL-DATA", 3: "BL-UDATA",
+              4: "BL-ACK", 5: "AL-SETUP", 6: "AL-DATA", 7: "AL-FINAL",
+              8: "AL-UDATA", 9: "AL-UFINAL", 10: "AL-ACK", 11: "AL-RNR",
+              12: "AL-RECONNECT", 13: "AL-DISC"}
+
+
+def run_ours_upper(bits):
+    from tetra_tpu.mle import mle as mle_mod
+    events = []
+    rx = TetraReceiver(log=lambda *a: None)
+    rx.umac.events = events
+    rx.llc.event_cb = events.append
+
+    def tl_cb(sdu, n):
+        pdisc = int(
+            (sdu[0] << 2) | (sdu[1] << 1) | sdu[2]) if n >= 3 else 0
+        if pdisc == 1:
+            pdut = mle_mod.mm_pdut_name(_u(sdu, 3, 4))
+        elif pdisc == 2:
+            pdut = mle_mod.cmce_pdut_name(_u(sdu, 3, 5))
+        elif pdisc == 4:
+            pdut = mle_mod.sndcp_pdut_name(_u(sdu, 3, 4))
+        elif pdisc == 5:
+            pdut = mle_mod.mle_pdut_name(_u(sdu, 3, 3))
+        else:
+            pdut = ""
+        events.append(("TLSDU_T", mle_mod.mle_pdisc_name(pdisc), pdut))
+
+    rx.llc.tl_sdu_cb = tl_cb
+    rx.process_bits(bits)
+
+    out = []
+    frag_total = {}
+    for e in events:
+        tag = e[0]
+        if tag == "RESOURCE":
+            rsd, l2len = e[1], e[2]
+            out.append(("RESOURCE", rsd.encryption_mode, rsd.macpdu_length,
+                        l2len, rsd.addr.dump()))
+        elif tag == "TMSDU":
+            dec, fcs, ln = e[1], e[4], e[5]
+            out.append(("TMSDU", _DEC_NAMES.get(dec, f"unknown({dec})"),
+                        {0: "", 1: "OK", 2: "BAD"}[fcs], ln))
+        elif tag == "TLSDU_T":
+            out.append(("TLSDU", e[1], e[2]))
+        elif tag == "FRAG_START":
+            frag_total[e[1]] = e[2]
+            out.append(("FRAG_START", e[1], e[2], e[2]))
+        elif tag == "FRAG_CONT":
+            frag_total[e[1]] = frag_total.get(e[1], 0) + e[2]
+            out.append(("FRAG_CONT", e[1], e[2], frag_total[e[1]]))
+        elif tag == "FRAG_END":
+            out.append(("FRAG_END", e[1], e[2], e[3] ))
+            frag_total.pop(e[1], None)
+        elif tag == "FRAG_AGEOUT":
+            out.append(("AGEOUT", e[1], e[2], e[3]))
+        elif tag == "FRAG_NOSTART":
+            if e[2] == -1:
+                out.append(("NOSTART_FRAG", e[1]))
+            else:
+                out.append(("NOSTART_END", e[1], e[2]))
+        elif tag == "FRAG_ACTIVE":
+            out.append(("FRAG_ACTIVE",))
+        elif tag == "SYSINFO":
+            sid = e[1]
+            dl = C.dl_carrier_hz(sid.freq_band, sid.main_carrier,
+                                 sid.freq_offset)
+            ul = C.ul_carrier_hz(sid.freq_band, sid.main_carrier,
+                                 sid.freq_offset, sid.duplex_spacing,
+                                 sid.reverse_operation)
+            tail = (f"CCK ID {sid.cck_id}" if sid.cck_valid_no_hf
+                    else f"Hyperframe {sid.hyperframe_number}")
+            out.append(("SYSINFO", dl, ul, sid.mle_si.bs_service_details,
+                        tail))
+        elif tag == "AACH":
+            from tetra_tpu.umac.mac_pdu import dl_usage_name, ul_usage_name
+            aad = e[1]
+            parts = []
+            for i, acc in ((1, aad.access1), (2, aad.access2)):
+                if acc is not None:
+                    parts.append(
+                        f"ACCESS{i}: {chr(ord('A') + acc.access_code)}/"
+                        f"{acc.base_frame_len}")
+            if aad.dl_usage >= 0:
+                parts.append(f"DL_USAGE: {dl_usage_name(aad.dl_usage)}")
+            if aad.ul_usage >= 0:
+                parts.append(f"UL_USAGE: {ul_usage_name(aad.ul_usage)}")
+            out.append(("AACH", "".join(p + " " for p in parts).strip()))
+    return out
+
+
+def _u(bits, pos, w):
+    v = 0
+    for i in range(pos, min(pos + w, len(bits))):
+        v = (v << 1) | int(bits[i])
+    return v
+
+
+def assert_upper_parity(bits, binary, tmp_path, min_events=1):
+    ref, stdout = run_oracle_upper(binary, np.asarray(bits, np.uint8),
+                                   str(tmp_path))
+    ours = run_ours_upper(np.asarray(bits, np.uint8))
+    for i, (r, o) in enumerate(zip(ref, ours)):
+        assert r == o, (i, r, o, ref[max(0, i - 3): i + 3],
+                        ours[max(0, i - 3): i + 3])
+    assert len(ref) == len(ours), (len(ref), len(ours), ref[-4:], ours[-4:])
+    assert len(ref) >= min_events, stdout[-1500:]
+    return ref
+
+
+def _mk(*slot_pdus, garbage=731, syncs=2, fn0=1, seed=0):
+    """garbage + `syncs` SYNC bursts + one SCH/F burst per pdu."""
+    rng = np.random.default_rng(seed)
+    aach = testpdu.make_access_assign_bits()
+    stream = [rng.integers(0, 2, garbage).astype(np.uint8)]
+    for k in range(syncs):
+        stream.append(np.asarray(tx.make_sync_burst(
+            testpdu.make_sync_pdu(mcc=MCC, mnc=MNC, cc=CC, fn=fn0),
+            testpdu.make_sysinfo_pdu(), aach, jnp.uint32(INIT)), np.uint8))
+    for pdu in slot_pdus:
+        stream.append(np.asarray(tx.make_schf_burst(
+            pdu, aach, jnp.uint32(INIT)), np.uint8))
+    # trailing lookahead so the synchroniser emits the last slot
+    stream.append(np.zeros(640, np.uint8))
+    return np.concatenate(stream)
+
+
+class TestUpperParity:
+    def test_resource_llc_mle_chain(self, ref_rx_full_bin, tmp_path):
+        """BL-UDATA carrying a CMCE D-SETUP through RESOURCE -> LLC ->
+        MLE: address dump, L2 length, LLC classification, TL-SDU name."""
+        sdu = testpdu.make_bl_udata(testpdu.make_mle_cmce_dsetup())
+        pdus = [testpdu.make_resource_pdu(ssi=0x401 + i, sdu_bits=sdu)
+                for i in range(3)]
+        ref = assert_upper_parity(_mk(*pdus), ref_rx_full_bin, tmp_path,
+                                  min_events=8)
+        assert sum(e[0] == "TLSDU" for e in ref) == 3
+
+    def test_bl_adata_fcs(self, ref_rx_full_bin, tmp_path):
+        """BL-ADATA+FCS: the FCS-32 verdict must match the reference,
+        both intact (OK) and corrupted (BAD)."""
+        from tetra_tpu.utils.bits import uint_to_bits
+        payload = testpdu.make_mle_cmce_dsetup()
+
+        def bl_adata_fcs(corrupt):
+            body = np.concatenate([
+                uint_to_bits(4, 4),       # BL-ADATA + FCS
+                [0],                      # N(R)
+                [1],                      # N(S)
+                payload])
+            fcs = fcs32_np(payload)
+            fcs_bits = uint_to_bits(int(fcs), 32)
+            if corrupt:
+                fcs_bits = fcs_bits.copy()
+                fcs_bits[5] ^= 1
+            return np.concatenate([body, fcs_bits]).astype(np.int8)
+
+        pdus = [testpdu.make_resource_pdu(ssi=0x600, sdu_bits=bl_adata_fcs(False)),
+                testpdu.make_resource_pdu(ssi=0x601, sdu_bits=bl_adata_fcs(True))]
+        ref = assert_upper_parity(_mk(*pdus), ref_rx_full_bin, tmp_path)
+        verdicts = [e[2] for e in ref if e[0] == "TMSDU"
+                    and e[1] == "BL-ADATA"]
+        assert verdicts == ["OK", "BAD"]
+
+    def test_fragment_reassembly(self, ref_rx_full_bin, tmp_path):
+        """START_FRAG + MAC-END across frames (fragslots key on TN, so
+        the END must land on the SAME timeslot of the next frame):
+        per-fragment lengths, accumulated totals, final reassembled
+        TM-SDU, and a no-start END on a different TN."""
+        from tests.test_fragmentation import (make_start_frag, make_mac_end,
+                                              make_null_schf)
+        rng = np.random.default_rng(0)
+        tl_sdu = np.concatenate([testpdu.make_mle_cmce_dsetup(),
+                                 np.tile([1, 0, 1, 1, 0, 0], 40)])
+        llc = testpdu.make_bl_udata(tl_sdu)
+        start_slot, _ = make_start_frag(0x777, llc[: 268 - 43])
+        end_slot = make_mac_end(llc[268 - 43:])
+        aach = testpdu.make_access_assign_bits()
+        sync = lambda fn: testpdu.make_sync_pdu(cc=CC, tn=1, fn=fn, mn=1,
+                                                mcc=MCC, mnc=MNC)
+        schf = lambda p: np.asarray(tx.make_schf_burst(
+            p, aach, jnp.uint32(INIT)), np.uint8)
+        sb = lambda fn: np.asarray(tx.make_sync_burst(
+            sync(fn), testpdu.make_sysinfo_pdu(), aach,
+            jnp.uint32(INIT)), np.uint8)
+        stream = [rng.integers(0, 2, 97).astype(np.uint8),
+                  sb(1),                           # consumed by alignment
+                  sb(1), schf(start_slot),         # frame 1: tn1, tn2
+                  schf(make_null_schf()), schf(make_null_schf()),
+                  sb(2), schf(end_slot),           # frame 2: tn2 = END
+                  schf(end_slot),                  # tn3: END w/o start
+                  np.zeros(640, np.uint8)]
+        ref = assert_upper_parity(np.concatenate(stream), ref_rx_full_bin,
+                                  tmp_path)
+        kinds = [e[0] for e in ref]
+        assert "FRAG_START" in kinds and "FRAG_END" in kinds
+        assert "NOSTART_END" in kinds
+        assert sum(e[0] == "TLSDU" for e in ref) == 1
+
+    def test_sysinfo_carrier_hz(self, ref_rx_full_bin, tmp_path):
+        """SYSINFO DL/UL Hz math (tetra_common.c:41-91) across bands,
+        offsets and duplex spacings."""
+        rng = np.random.default_rng(7)
+        aach = testpdu.make_access_assign_bits()
+        stream = [rng.integers(0, 2, 555).astype(np.uint8)]
+        for k in range(4):
+            si = testpdu.make_sysinfo_pdu(
+                main_carrier=int(rng.integers(1, 4000)),
+                freq_band=int(rng.integers(0, 10)))
+            stream.append(np.asarray(tx.make_sync_burst(
+                testpdu.make_sync_pdu(mcc=MCC, mnc=MNC, cc=CC),
+                si, aach, jnp.uint32(INIT)), np.uint8))
+        ref = assert_upper_parity(np.concatenate(stream), ref_rx_full_bin,
+                                  tmp_path)
+        assert sum(e[0] == "SYSINFO" for e in ref) >= 3
+
+    def test_mixed_corruption_soak(self, ref_rx_full_bin, tmp_path):
+        """Bit-flipped mixed stream: every upper-half decision must
+        still match slot for slot (CRC-failed slots drop out in both)."""
+        sdu = testpdu.make_bl_udata(testpdu.make_mle_cmce_dsetup())
+        pdus = [testpdu.make_resource_pdu(ssi=0x500 + i, sdu_bits=sdu)
+                for i in range(8)]
+        bits = _mk(*pdus, seed=3)
+        rng = np.random.default_rng(11)
+        idx = rng.choice(len(bits), size=60, replace=False)
+        bits = bits.copy()
+        bits[idx] ^= 1
+        assert_upper_parity(bits, ref_rx_full_bin, tmp_path)

@@ -194,10 +194,17 @@ def dl_carrier_hz(band: int, carrier: int, offset: int) -> int:
 
 
 def ul_carrier_hz(band: int, carrier: int, offset: int, duplex: int, reverse: int) -> int:
-    """Uplink carrier frequency (reference src/tetra_common.c:80-91)."""
+    """Uplink carrier frequency (reference src/tetra_common.c:80-91).
+
+    Bit-faithful to the reference INCLUDING its signedness bug: it
+    assigns the int16 spacing to a uint32, so the `< 0` reserved-value
+    check never fires and a reserved (-1) spacing wraps to
+    0xFFFFFFFF * 1000 mod 2^32 = -1000, yielding UL = DL +/- 1000 Hz
+    instead of the intended 0 (pinned by the compiled oracle in
+    tests/test_ref_parity_upper.py::test_sysinfo_carrier_hz)."""
     freq = dl_carrier_hz(band, carrier, offset)
-    spacing = DUPLEX_SPACING_KHZ[duplex & 7][band & 15]
-    if spacing < 0:
-        return 0
-    spacing *= 1000
-    return freq + spacing if reverse else freq - spacing
+    spacing = DUPLEX_SPACING_KHZ[duplex & 7][band & 15] & 0xFFFFFFFF
+    spacing = (spacing * 1000) & 0xFFFFFFFF
+    if reverse:
+        return (freq + spacing) & 0xFFFFFFFF
+    return (freq - spacing) & 0xFFFFFFFF

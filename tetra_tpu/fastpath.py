@@ -112,11 +112,29 @@ def fused_chunk(ring, packed, end_rel, rebase, st0, bs0, nb0, nfs0, fed_rel,
     delta = jnp.where(valid, bc_at - prev, 0)
     tail = bc[:, -1] - delta.sum(axis=1)
 
-    # ---- slot bit gather [B, maxs, 510]
-    idx = soff[:, :, None] + jnp.arange(C.BITS_PER_TS, dtype=jnp.int32)
-    idx = jnp.clip(idx, 0, L - 1).reshape(B, maxs * C.BITS_PER_TS)
-    flat = jnp.take_along_axis(bits, idx, axis=1).reshape(
-        B * maxs, C.BITS_PER_TS)
+    # ---- slot bit gather [B, maxs, 510], word-granular.
+    # A bit-granular take_along_axis of maxs*510 elements costs ~100 ms
+    # on this part (XLA TPU gathers run ~90 M elem/s); packing the
+    # window into uint32 words first cuts the gather 30x, and the
+    # arbitrary bit offset becomes an elementwise funnel shift.
+    w32 = jnp.left_shift(jnp.uint32(1),
+                         jnp.arange(31, -1, -1, dtype=jnp.uint32))
+    words = (bits.reshape(B, L // 32, 32).astype(jnp.uint32)
+             * w32).sum(-1, dtype=jnp.uint32)               # [B, L/32]
+    nw = C.BITS_PER_TS // 32 + 2                            # 17 words
+    wstart = soff >> 5
+    sh = (soff & 31).astype(jnp.uint32)[:, :, None]
+    widx = jnp.clip(wstart[:, :, None]
+                    + jnp.arange(nw, dtype=jnp.int32), 0, L // 32 - 1)
+    got = jnp.take_along_axis(words, widx.reshape(B, maxs * nw),
+                              axis=1).reshape(B, maxs, nw)
+    lo = jnp.where(sh == 0, jnp.uint32(0),
+                   got[..., 1:] >> (jnp.uint32(32) - sh))
+    out_words = (got[..., :nw - 1] << sh) | lo              # [B, maxs, 16+]
+    shifts32 = jnp.arange(31, -1, -1, dtype=jnp.uint32)
+    flat = ((out_words[..., None] >> shifts32) & 1).reshape(
+        B, maxs, (nw - 1) * 32)[..., :C.BITS_PER_TS].astype(
+        jnp.int8).reshape(B * maxs, C.BITS_PER_TS)
 
     # ---- SB1 pre-decode + scrambling-code forward fill (device twin of
     # rx.decode_slots_multi's host fill; tetra_lower_mac.c:283-310)
@@ -210,7 +228,10 @@ class FastChunkPipeline:
         bits = np.asarray(bits, dtype=np.uint8) & 1
         B, Lc = bits.shape
         assert B == self.n
-        lc_pad = -(-Lc // 8) * 8
+        # pad the chunk to a 32-bit word boundary (the fused program's
+        # slot extraction packs the window into uint32 words); the pad
+        # sits beyond the true stream end and is never consumed
+        lc_pad = -(-Lc // 32) * 32
         if lc_pad != Lc:
             bits = np.pad(bits, ((0, 0), (0, lc_pad - Lc)))
         packed = np.packbits(bits, axis=1)

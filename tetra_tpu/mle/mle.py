@@ -37,19 +37,21 @@ _MM_PDUT_D = {
     12: "D-MM STATUS", 15: "MM PDU/FUNCTION NOT SUPPORTED",
 }
 
-# 14.8.28 / reference tetra_cmce_pdu.h
+# 14.8.28 / reference tetra_cmce_pdu.h:7-25 (the table is ZERO-based:
+# D-ALERT = 0x00 .. D-FACILITY = 0x10; pinned against the compiled
+# reference by tests/test_ref_parity_upper.py)
 _CMCE_PDUT_D = {
-    1: "D-ALERT", 2: "D-CALL PROCEEDING", 3: "D-CONNECT", 4: "D-CONNECT ACK",
-    5: "D-DISCONNECT", 6: "D-INFO", 7: "D-RELEASE", 8: "D-SETUP",
-    9: "D-STATUS", 10: "D-TX CEASED", 11: "D-TX CONTINUE", 12: "D-TX GRANTED",
-    13: "D-TX WAIT", 14: "D-TX INTERRUPT", 15: "D-TX CALL RESTORE",
-    16: "D-SDS DATA", 17: "D-FACILITY",
+    0: "D-ALERT", 1: "D-CALL PROCEEDING", 2: "D-CONNECT", 3: "D-CONNECT ACK",
+    4: "D-DISCONNECT", 5: "D-INFO", 6: "D-RELEASE", 7: "D-SETUP",
+    8: "D-STATUS", 9: "D-TX CEASED", 10: "D-TX CONTINUE", 11: "D-TX GRANTED",
+    12: "D-TX WAIT", 13: "D-TX INTERRUPT", 14: "D-TX CALL RESTORE",
+    15: "D-SDS DATA", 16: "D-FACILITY",
 }
 _CMCE_PDUT_U = {
-    1: "U-ALERT", 3: "U-CONNECT", 5: "U-DISCONNECT", 6: "U-INFO",
-    7: "U-RELEASE", 8: "U-SETUP", 9: "U-STATUS", 10: "U-TX CEASED",
-    11: "U-TX DEMAND", 15: "U-TX CALL RESTORE", 16: "U-SDS DATA",
-    17: "U-FACILITY",
+    0: "U-ALERT", 2: "U-CONNECT", 4: "U-DISCONNECT", 5: "U-INFO",
+    6: "U-RELEASE", 7: "U-SETUP", 8: "U-STATUS", 9: "U-TX CEASED",
+    10: "U-TX DEMAND", 14: "U-TX CALL RESTORE", 15: "U-SDS DATA",
+    16: "U-FACILITY",
 }
 
 # 28.4.1 / reference tetra_sndcp_pdu.h

@@ -95,8 +95,9 @@ def make_bl_udata(payload_bits) -> np.ndarray:
 
 
 def make_mle_cmce_dsetup() -> np.ndarray:
-    """Minimal CMCE D-SETUP TL-SDU (pdisc 2, pdut 8) + filler."""
-    return BitBuilder().u(2, 3).u(8, 5).u(0xAB, 8).u(0xCD, 8).array()
+    """Minimal CMCE D-SETUP TL-SDU (pdisc 2, pdut 7 per the zero-based
+    14.8.28 table, reference tetra_cmce_pdu.h:15) + filler."""
+    return BitBuilder().u(2, 3).u(7, 5).u(0xAB, 8).u(0xCD, 8).array()
 
 
 def make_resource_pdu(ssi=0x123456, sdu_bits=None, total_len=268,

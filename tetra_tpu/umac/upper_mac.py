@@ -189,6 +189,12 @@ class UpperMac:
         tmpdu_offset = rsd.bit_len
         key = None
 
+        # eff mirrors the reference's msgb_l1len after truncation; a
+        # reserved length field (-22) drives msg->tail BELOW msg->head
+        # (tetra_upper_mac.c:177-178), so the reported lengths go
+        # NEGATIVE — reproduced signed here, pinned by the compiled
+        # oracle in tests/test_ref_parity_upper.py
+        eff = len(bits)
         if rsd.macpdu_length == MACPDU_LEN_2ND_STOLEN:
             pdu_bits = -1
             self.blk2_stolen = True
@@ -198,10 +204,15 @@ class UpperMac:
             pdu_bits = rsd.macpdu_length * 8
             if 0 < pdu_bits <= len(bits):
                 bits = bits[:pdu_bits]
+                eff = pdu_bits
+            elif pdu_bits <= 0:
+                bits = bits[:0]
+                eff = pdu_bits
 
-        if rsd.fill_bits:
+        if rsd.fill_bits and eff > 0:
             nfb = _num_fill_bits(bits)
             bits = bits[:len(bits) - nfb]
+            eff -= nfb
 
         if rsd.is_encrypted and self.tcs.db.keys:
             key = self.tcs.get_ksg_key(rsd.addr.ssi)
@@ -216,10 +227,10 @@ class UpperMac:
                     rsd.cad = cad
                     tmpdu_offset += cad.bit_len
 
-        l2len = max(0, len(bits) - tmpdu_offset)
+        l2len = eff - tmpdu_offset
         line = (f"RESOURCE Encr={rsd.encryption_mode}"
                 f"{' DECRYPTED' if rsd.encryption_mode and not rsd.is_encrypted else ''}"
-                f" len_field={rsd.macpdu_length} l1_len={len(bits)} l2_len={l2len}"
+                f" len_field={rsd.macpdu_length} l1_len={eff} l2_len={l2len}"
                 f" Addr={rsd.addr.dump()}")
         if rsd.chan_alloc_pres:
             line += (" ChanAlloc=ENCRYPTED" if rsd.is_encrypted
@@ -235,7 +246,7 @@ class UpperMac:
         self.usage_marker = rsd.addr.usage_marker
         self.addr_type = rsd.addr.type
 
-        if l2len == 0 or rsd.is_encrypted:
+        if l2len <= 0 or rsd.is_encrypted:
             self.log(line)
             return pdu_bits
 

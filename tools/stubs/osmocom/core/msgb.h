@@ -42,4 +42,14 @@ static inline unsigned int msgb_l1len(const struct msgb *msg)
 	return msg->tail - msg->l1h;
 }
 
+static inline unsigned int msgb_l2len(const struct msgb *msg)
+{
+	return msg->tail - msg->l2h;
+}
+
+static inline unsigned int msgb_l3len(const struct msgb *msg)
+{
+	return msg->tail - msg->l3h;
+}
+
 #endif

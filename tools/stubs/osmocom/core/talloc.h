@@ -5,6 +5,9 @@
 #include <stdlib.h>
 
 #define talloc_zero(ctx, type) ((type *)calloc(1, sizeof(type)))
+#define talloc_zero_array(ctx, type, n) ((type *)calloc((n), sizeof(type)))
+#define talloc_realloc(ctx, ptr, type, n) \
+	((type *)realloc((ptr), (size_t)(n) * sizeof(type)))
 #define talloc_free(ptr) free(ptr)
 
 extern void *tetra_tall_ctx;

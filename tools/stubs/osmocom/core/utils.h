@@ -7,6 +7,10 @@
 #include <stdint.h>
 #include <stddef.h>
 
+/* the reference's crypto units use talloc_* through libosmocore's
+ * header chain without a direct include; route them to the stub */
+#include <osmocom/core/talloc.h>
+
 #define ARRAY_SIZE(x) (sizeof(x) / sizeof((x)[0]))
 
 struct value_string {
