@@ -240,7 +240,7 @@ def main():
     ingest4_carriers = ingest4_samples_per_s / 36000.0
 
     # ---- stage 7: control plane (host): native executor slots/s ----
-    cp_slots_per_s = cp_py_slots_per_s = None
+    cp_slots_per_s = cp_py_slots_per_s = cp_enc_slots_per_s = None
     try:
         from tetra_tpu import testpdu
         from tetra_tpu.umac import native_exec
@@ -280,6 +280,66 @@ def main():
                 um.rx_slot(all_bits[o:o + ln], int(recs[i, 1]), True,
                            TdmaTime(tn=int(recs[i, 4]), fn=int(recs[i, 5])))
             cp_py_slots_per_s = n_py / (time.perf_counter() - t0)
+
+            # encrypted hot path: TEA1-encrypted MAC-RESOURCE slots,
+            # decrypted inside the C++ walk (TB5 + batch TEA core;
+            # reference decrypts on its hot path, tetra_crypto.c:211-252)
+            from tetra_tpu.crypto.crypto import (
+                CryptoState, CryptoDatabase, TetraKey, TetraNetinfo,
+                decrypt_mac_element)
+            from tetra_tpu.umac import mac_pdu
+            from tetra_tpu.utils.bits import uint_to_bits
+            MCC, MNC, CCODE, CCK_ID, CN, LA = 262, 42, 1, 7, 3710, 1234
+            ni = TetraNetinfo(mcc=MCC, mnc=MNC, ksg_type=1,
+                              security_class=2)
+            key = TetraKey(index=0, mcc=MCC, mnc=MNC, key_type=1,
+                           key_num=CCK_ID, addr=0,
+                           key=bytes(range(0xA0, 0xAA)), network_info=ni)
+            db = CryptoDatabase(keys=[key], nets=[ni])
+            tcs = CryptoState()
+            tcs.db = db
+            tcs.mcc, tcs.mnc, tcs.cc = MCC, MNC, CCODE
+            tcs.cn, tcs.la, tcs.cck_id, tcs.hn = CN, LA, CCK_ID, -1
+            pdu = np.array(testpdu.make_resource_pdu(
+                ssi=0x1234, sdu_bits=testpdu.make_bl_udata(
+                    testpdu.make_mle_cmce_dsetup()), fill=False))
+            pdu[4:6] = [0, 1]  # encryption_mode = 1
+            rsd = mac_pdu.decode_resource(pdu)
+            enc = np.array(pdu, np.uint8)
+            enc[:rsd.macpdu_length * 8], okx = decrypt_mac_element(
+                tcs, key, pdu[:rsd.macpdu_length * 8],
+                TdmaTime(tn=2, fn=2, mn=3), rsd.bit_len)
+            assert okx
+            cp2 = native_exec.NativeControlPlane(C_CP)
+            cp2.set_keys(db)
+            # bootstrap per-carrier crypto state through the walk: one
+            # SYNC slot (cc/mcc/mnc) whose SB2 is a CCK-flagged SYSINFO
+            # (la/cn/cck id)
+            sb1 = np.asarray(testpdu.make_sync_pdu(
+                cc=CCODE, tn=1, fn=2, mn=3, mcc=MCC, mnc=MNC), np.uint8)
+            si = np.array(testpdu.make_sysinfo_pdu(
+                main_carrier=CN, la=LA), np.uint8)
+            si[43] = 1
+            si[44:60] = uint_to_bits(CCK_ID, 16)
+            bbk14 = np.asarray(testpdu.make_access_assign_bits(), np.uint8)
+            boot_bits = np.concatenate([sb1, bbk14, si]).astype(np.uint8)
+            wrec = np.zeros((C_CP, 14), np.int32)
+            for c in range(C_CP):
+                wrec[c] = (c, 0, 1, 2, 3, 1, 1, 0, len(sb1),
+                           len(sb1), 14, len(sb1) + 14, len(si), 0)
+            cp2.walk(boot_bits, wrec)
+            N_ENC = 20000
+            erecs = np.zeros((N_ENC, 9), np.int32)
+            for i in range(N_ENC):
+                erecs[i] = (i % C_CP, LogicalChannel.SCH_F, 1, 0, 2, 2,
+                            3, 0, len(enc))
+            ev = cp2.process(enc, erecs)
+            from tetra_tpu.umac.native_exec import EV as _EV
+            n_dec = int((ev["kind"] == _EV.TLSDU).sum())
+            assert n_dec >= N_ENC, n_dec  # every slot decrypted+parsed
+            t_enc = _median_time(lambda: cp2.process(enc, erecs), reps=5)
+            cp_enc_slots_per_s = N_ENC / t_enc
+            cp2.close()
     except Exception:
         pass
 
@@ -308,8 +368,29 @@ def main():
             if cp_slots_per_s else None),
         "controlplane_python_slots_per_s": (
             round(cp_py_slots_per_s, 1) if cp_py_slots_per_s else None),
+        "controlplane_native_enc_slots_per_s": (
+            round(cp_enc_slots_per_s, 1) if cp_enc_slots_per_s else None),
         "device": str(jax.devices()[0]),
     }
+
+    # ---- stage 8: integrated end-to-end (the one number that
+    # composes everything: acquisition -> fused device chunk ->
+    # native control plane; reference unit: tetra-rx.c:82-95) ----
+    try:
+        import pathlib
+        sys_tools = str(pathlib.Path(__file__).parent / "tools")
+        import sys as _sys
+        if sys_tools not in _sys.path:
+            _sys.path.insert(0, sys_tools)
+        import bench_mc_e2e
+        mc = bench_mc_e2e.run(n_car=1024, n_frames=8, n_chunks=4)
+        result["mc_e2e_realtime_carriers"] = mc["realtime_carriers_e2e"]
+        result["mc_e2e_mbits_per_s"] = mc["mbits_per_s"]
+        result["mc_e2e_crc_ok"] = mc["crc_ok"]
+        result["mc_e2e_crc_err"] = mc["crc_err"]
+    except Exception:
+        pass
+
     print(json.dumps(result))
 
 

@@ -8,14 +8,23 @@
 // The Python control plane costs ~100 us/slot (fine per carrier, a
 // bottleneck at thousands of carriers x 70.6 slots/s); this executor
 // consumes batched device-decoded type-1 bit records and emits compact
-// structured events instead of log strings. Unencrypted fast path:
-// encrypted MAC elements are reported (RESOURCE event with
-// is_encrypted=1) but not decrypted — carriers needing decryption route
-// through the Python plane (tetra_tpu/umac/native_exec.py dispatch).
+// structured events instead of log strings. Decryption runs on this
+// hot path like the reference's (src/tetra_crypto.c:211-252): load a
+// keystore with tetra_umac_set_keys and encrypted MAC elements are
+// decrypted in place — per-carrier crypto state (cc/mcc/mnc from SYNC,
+// la/cn/cck-id/hn from SYSINFO), TB5 ECK derivation and the batch TEA
+// keystream core from tetra_native.cpp (same shared object).
 
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+// TEA keystream + TB5 ECK derivation (native/tetra_native.cpp)
+extern "C" void tetra_tea_keystream_batch(int ksg, const uint32_t *ivs,
+                                          const uint8_t *ecks, int n,
+                                          int nbytes, uint8_t *out);
+extern "C" void tetra_tb5(uint32_t cn, uint32_t la, uint32_t cc,
+                          const uint8_t *ck, uint8_t *eck);
 
 namespace {
 
@@ -187,6 +196,7 @@ struct Frag {
     bool active = false;
     int age = 0, num = 0, length = 0;
     bool enc = false;
+    int key_idx = -1;  // keystore index captured at FRAG-START
     std::vector<uint8_t> bits;
 };
 
@@ -207,6 +217,19 @@ struct Carrier {
     // the reference's talloc_zero'd invalid 0s (tetra-rx.c:49).
     int tn = 0, fn = 0, mn = 0;
     int colour = 0, mcc = 0, mnc = 0;
+    // crypto state (crypto/crypto.py CryptoState, reference
+    // tetra_crypto.h:94-104): cc/mcc/mnc track SYNC, la/cn/cck_id/hn
+    // track SYSINFO; net_idx/cck_idx cache the keystore resolution
+    int c_mcc = -1, c_mnc = -1, cck_id = -1, hn = -1;
+    int la = -1, cn = -1, cc = -1;
+    int net_idx = -1, cck_idx = -1;
+};
+
+struct NetRec { int mcc, mnc, ksg_type, security_class; };
+struct KeyRec {
+    int mcc, mnc, key_type, key_num;
+    int ksg_type;        // from the key's own network entry (load-time)
+    uint8_t key[10];
 };
 
 // one TDMA slot advance, replicating tetra_tpu/tdma.py add_tn(1)
@@ -220,12 +243,17 @@ inline void tdma_add_tn1(Carrier &c) {
 
 struct Ctx {
     std::vector<Carrier> carriers;
+    std::vector<NetRec> nets;
+    std::vector<KeyRec> keys;
     // event output (set per process call)
     int32_t *ev_car, *ev_kind;
     int64_t *ev_a, *ev_b, *ev_c, *ev_d;
     int64_t ev_max, ev_n, overflow;
     int cur_carrier;
     int cur_slot_tn;
+    // current dispatch context for decryption (TmvUnitdata fields)
+    int cur_tn = 0, cur_fn = 0, cur_mn = 0;
+    int cur_blk_num = 0, cur_lchan = 0;
 
     void emit(int kind, int64_t a = 0, int64_t b = 0, int64_t c = 0,
               int64_t d = 0) {
@@ -236,6 +264,84 @@ struct Ctx {
         ev_n++;
     }
 };
+
+// ---- crypto state (crypto/crypto.py, reference tetra_crypto.c) ----
+
+void update_current_cck(Ctx &cx, Carrier &car) {
+    // tetra_crypto.c:438-452 / CryptoState.update_current_cck
+    car.cck_idx = -1;
+    for (size_t i = 0; i < cx.keys.size(); i++) {
+        const KeyRec &k = cx.keys[i];
+        if (k.mcc == car.c_mcc && k.mnc == car.c_mnc
+            && k.key_num == car.cck_id && k.key_type == 1 /* CCK_SCK */) {
+            car.cck_idx = (int)i;
+            break;
+        }
+    }
+}
+
+void update_current_network(Ctx &cx, Carrier &car, int mcc, int mnc) {
+    // tetra_crypto.c:416-436 / CryptoState.update_current_network
+    car.c_mcc = mcc; car.c_mnc = mnc;
+    car.net_idx = -1;
+    for (size_t i = 0; i < cx.nets.size(); i++)
+        if (cx.nets[i].mcc == mcc && cx.nets[i].mnc == mnc) {
+            car.net_idx = (int)i;
+            break;
+        }
+    update_current_cck(cx, car);
+}
+
+// get_ksg_key (tetra_crypto.c:395-414): current CCK iff a network
+// entry matched; -1 otherwise
+int get_ksg_key(const Carrier &car) {
+    return car.net_idx >= 0 ? car.cck_idx : -1;
+}
+
+// Keystream ubits for the current slot time (tetra_crypto.c:158-203 /
+// crypto.py generate_keystream). Returns false when crypto state is
+// incomplete or the KSG is unsupported — the element stays encrypted,
+// exactly like the Python plane.
+bool gen_keystream(Ctx &cx, Carrier &car, int key_idx, int nbits,
+                   uint8_t *out_bits) {
+    if (key_idx < 0 || key_idx >= (int)cx.keys.size()) return false;
+    if (car.cn < 0 || car.la < 0 || car.cc < 0) return false;
+    int tn = cx.cur_tn, fn = cx.cur_fn, mn = cx.cur_mn;
+    if (tn < 1 || tn > 4 || fn < 1 || fn > 18 || mn < 1 || mn > 60)
+        return false;  // Python asserts these; guard instead of abort
+    const KeyRec &k = cx.keys[key_idx];
+    int ksg = k.ksg_type;
+    if (ksg < 1 || ksg > 3) return false;  // TEA1/2/3 only
+    uint32_t iv = (uint32_t)((tn - 1) | (fn << 2) | (mn << 7)
+                             | ((car.hn & 0x7FFF) << 13));
+    uint8_t eck[10];
+    tetra_tb5((uint32_t)(car.cn & 0xFFF), (uint32_t)(car.la & 0x3FFF),
+              (uint32_t)(car.cc & 0x3F), k.key, eck);
+    int nbytes = (nbits + 7) / 8;
+    uint8_t buf[128];
+    if (nbytes > (int)sizeof(buf)) return false;  // slots are <=484 ks bits
+    tetra_tea_keystream_batch(ksg, &iv, eck, 1, nbytes, buf);
+    for (int i = 0; i < nbits; i++)
+        out_bits[i] = (buf[i >> 3] >> (7 - (i & 7))) & 1;
+    return true;
+}
+
+// XOR-decrypt a MAC element in place (tetra_crypto.c:211-252 /
+// crypto.py decrypt_mac_element, incl. the 216-bit keystream skip for
+// second-half-slot blocks)
+bool decrypt_elem(Ctx &cx, Carrier &car, int key_idx, uint8_t *bits,
+                  int64_t n, int64_t tmpdu_offset, bool second_half) {
+    int64_t ct_len = n - tmpdu_offset;
+    if (key_idx < 0 || ct_len <= 0) return false;
+    int skip = second_half ? 216 : 0;
+    uint8_t ks[704];
+    if (skip + ct_len > (int64_t)sizeof(ks)) return false;
+    if (!gen_keystream(cx, car, key_idx, skip + (int)ct_len, ks))
+        return false;
+    for (int64_t i = 0; i < ct_len; i++)
+        bits[tmpdu_offset + i] ^= ks[skip + i];
+    return true;
+}
 
 // ---- LLC / MLE ----
 
@@ -392,7 +498,7 @@ void append_frag(Carrier &car, int slot, const Bits &b) {
     f.age = 0;
 }
 
-int rx_bcast(Ctx &cx, const Bits &b) {
+int rx_bcast(Ctx &cx, Carrier &car, const Bits &b) {
     int64_t main_carrier = b.u(4, 12);
     int band = (int)b.u(16, 4), off = (int)b.u(20, 2);
     // header(4) + carrier(12) band(4) off(2) dup(3) rev(1) csch(2)
@@ -403,6 +509,19 @@ int rx_bcast(Ctx &cx, const Bits &b) {
     int64_t bsd = b.u(124 - 42 + 14 + 16, 12);
     cx.emit(EV_SYSINFO, main_carrier, band * 16 + off,
             (int64_t)cck_valid << 32 | val16, (la << 12) | bsd);
+    // crypto state update (tetra_upper_mac.c:119-131 / upper_mac.py
+    // rx_bcast): SYSINFO carries la + main carrier, plus either the
+    // CCK id (cck_valid) or the hyperframe number
+    car.la = (int)la;
+    car.cn = (int)main_carrier;
+    if (cck_valid) {
+        if ((int)val16 != car.cck_id) {
+            car.cck_id = (int)val16;
+            update_current_cck(cx, car);
+        }
+    } else {
+        car.hn = (int)val16;
+    }
     return -1;
 }
 
@@ -454,7 +573,29 @@ int rx_resrc(Ctx &cx, Carrier &car, const Bits &in) {
         b = b.slice(0, b.n - nfb);
         eff -= nfb;
     }
-    // no keystore in the native plane: encrypted elements stay encrypted
+    // decrypt on the hot path (tetra_crypto.c:211-252 / upper_mac.py
+    // rx_resrc): select the CCK, derive the keystream at the current
+    // slot time, XOR, then decode the chan-alloc that was hidden under
+    // encryption. A copy of the element lives in `scratch` so decoded
+    // SDU bits point at plaintext.
+    int key_idx = -1;
+    std::vector<uint8_t> scratch;
+    if (r.is_encrypted && !cx.keys.empty()) {
+        key_idx = get_ksg_key(car);
+        if (key_idx >= 0) {
+            bool second_half =
+                cx.cur_blk_num == 2
+                && (cx.cur_lchan == LCH_SCH_HD || cx.cur_lchan == LCH_UNKNOWN);
+            scratch.assign(b.p, b.p + b.n);
+            if (decrypt_elem(cx, car, key_idx, scratch.data(), b.n,
+                             tmpdu, second_half)) {
+                b = Bits{scratch.data(), (int64_t)scratch.size()};
+                r.is_encrypted = 0;
+                if (r.chan_alloc_pres)
+                    tmpdu += decode_chan_alloc(b.slice(tmpdu, b.n));
+            }
+        }
+    }
     int64_t l2len = eff - tmpdu;
     cx.emit(EV_RESOURCE, r.addr_type, r.addr_value, r.macpdu_length,
             (l2len << 1) | r.is_encrypted);
@@ -474,6 +615,7 @@ int rx_resrc(Ctx &cx, Carrier &car, const Bits &in) {
         Frag &f = car.frags[slot];
         f.active = true;
         f.enc = r.encryption_mode > 0;
+        f.key_idx = key_idx;
         append_frag(car, slot, sdu);
         cx.emit(EV_FRAG_START, slot, sdu.n);
     }
@@ -487,8 +629,16 @@ int rx_macfrag(Ctx &cx, Carrier &car, const Bits &b, int slot) {
     int fill = b.bit(nn); nn += 1;
     Bits body = b.slice(nn, b.n);
     if (fill) body = body.slice(0, b.n - num_fill_bits(b) - nn);
-    // encrypted fragment bodies without a key: appended as-is (Python
-    // plane with no keystore behaves identically)
+    // encrypted continuation fragments decrypt with the key captured at
+    // FRAG-START, keystream at THIS slot's time (upper_mac.py
+    // rx_macfrag); without a key they append as-is
+    std::vector<uint8_t> scratch;
+    if (f.enc && f.key_idx >= 0) {
+        scratch.assign(b.p, b.p + nn + body.n);
+        if (decrypt_elem(cx, car, f.key_idx, scratch.data(),
+                         nn + body.n, nn, false))
+            body = Bits{scratch.data() + nn, body.n};
+    }
     append_frag(car, slot, body);
     cx.emit(EV_FRAG_CONT, slot, body.n);
     return -1;
@@ -511,12 +661,21 @@ int rx_macend(Ctx &cx, Carrier &car, const Bits &b, int slot) {
     int64_t body_end = length_ind * 8 < b.n ? length_ind * 8 : b.n;
     Bits work = b.slice(0, body_end);
     if (fill) work = work.slice(0, work.n - num_fill_bits(work));
+    // encrypted MAC-END decrypts before the chan-alloc decode
+    // (upper_mac.py rx_macend)
+    std::vector<uint8_t> scratch;
+    if (f.enc && f.key_idx >= 0) {
+        scratch.assign(work.p, work.p + work.n);
+        decrypt_elem(cx, car, f.key_idx, scratch.data(), work.n, nn,
+                     false);
+        work = Bits{scratch.data(), work.n};
+    }
     if (chanalloc)
         nn += decode_chan_alloc(work.slice(nn, work.n));
     Bits body = work.slice(nn, work.n);
     append_frag(car, slot, body);
     cx.emit(EV_FRAG_END, slot, body.n, f.length);
-    if (!f.enc) {
+    if (!f.enc || f.key_idx >= 0) {
         Bits full{f.bits.data(), (int64_t)f.bits.size()};
         rx_tm_sdu(cx, car, full, f.length);
     }
@@ -536,7 +695,9 @@ int rx_suppl(Ctx &cx, Carrier &car, const Bits &b) {
 
 // the multi-PDU slot loop over one type-1 block (upper_mac.py rx_slot)
 void process_block(Ctx &cx, Carrier &car, const Bits &all, int lchan,
-                   int crc_ok, int fn) {
+                   int crc_ok, int fn, int blk_num) {
+    cx.cur_lchan = lchan;
+    cx.cur_blk_num = blk_num;
     int64_t total = all.n, offset = 0;
     while (true) {
         Bits b = all.slice(offset, total);
@@ -549,7 +710,7 @@ void process_block(Ctx &cx, Carrier &car, const Bits &all, int lchan,
             else if (lchan == LCH_BSCH) { /* SYNC handled above MAC */ }
             else if (lchan == LCH_BNCH || lchan == LCH_UNKNOWN ||
                      lchan == LCH_SCH_F || lchan == LCH_SCH_HD) {
-                if (pdu_type == MACPDU_BCAST) pdu_bits = rx_bcast(cx, b);
+                if (pdu_type == MACPDU_BCAST) pdu_bits = rx_bcast(cx, car, b);
                 else if (pdu_type == MACPDU_RESOURCE)
                     pdu_bits = rx_resrc(cx, car, b);
                 else if (pdu_type == MACPDU_SUPPL)
@@ -580,39 +741,49 @@ void walk_slot(Ctx &cx, Carrier &car, const Bits &blkA, const Bits &bbk,
                const Bits &blkB, int kind, int okA, int okB,
                int tn, int fn, int mn, int slot_ref) {
     cx.cur_slot_tn = tn >= 0 && tn < NR_FRAGSLOTS ? tn : 0;
+    cx.cur_tn = tn; cx.cur_fn = fn; cx.cur_mn = mn;
     if (kind == 0) {  // SYNC: SB1 -> BSCH, BBK -> AACH, SB2
+        if (okA) {
+            // crypto view of the SYNC fields (rx.py:_rx_sb1 322-325 /
+            // tetra_lower_mac.c:311-317): colour code -> cc, network
+            // (re)selection on an mcc/mnc change
+            car.cc = (int)blkA.u(4, 6);
+            int mcc = (int)blkA.u(31, 10), mnc = (int)blkA.u(41, 14);
+            if (car.c_mcc != mcc || car.c_mnc != mnc)
+                update_current_network(cx, car, mcc, mnc);
+        }
         cx.emit(EV_CRC, 0, okA);
-        process_block(cx, car, blkA, LCH_BSCH, okA, fn);
-        process_block(cx, car, bbk, LCH_AACH, 1, fn);
+        process_block(cx, car, blkA, LCH_BSCH, okA, fn, 1);
+        process_block(cx, car, bbk, LCH_AACH, 1, fn, 0);
         int lchan = (fn == 18 && tn == 4 - ((mn + 3) % 4))
             ? LCH_BNCH : LCH_UNKNOWN;
         cx.emit(EV_CRC, 1, okB);
-        process_block(cx, car, blkB, lchan, okB, fn);
+        process_block(cx, car, blkB, lchan, okB, fn, 2);
     } else if (kind == 1) {  // SCH/F
-        process_block(cx, car, bbk, LCH_AACH, 1, fn);
+        process_block(cx, car, bbk, LCH_AACH, 1, fn, 0);
         if (car.is_traffic) {
             cx.emit(EV_TRAFFIC, slot_ref, 0, car.is_traffic, tn);
         } else {
             cx.emit(EV_CRC, 2, okA);
-            process_block(cx, car, blkA, LCH_SCH_F, okA, fn);
+            process_block(cx, car, blkA, LCH_SCH_F, okA, fn, 0);
         }
     } else {  // NDB
-        process_block(cx, car, bbk, LCH_AACH, 1, fn);
+        process_block(cx, car, bbk, LCH_AACH, 1, fn, 0);
         if (car.is_traffic) {
             car.blk1_stolen = true;
             cx.emit(EV_CRC, 3, okA);
-            process_block(cx, car, blkA, LCH_UNKNOWN, okA, fn);
+            process_block(cx, car, blkA, LCH_UNKNOWN, okA, fn, 1);
             if (car.blk2_stolen) {
                 cx.emit(EV_CRC, 3, okB);
-                process_block(cx, car, blkB, LCH_UNKNOWN, okB, fn);
+                process_block(cx, car, blkB, LCH_UNKNOWN, okB, fn, 2);
             } else {
                 cx.emit(EV_TRAFFIC, slot_ref, 1, car.is_traffic, tn);
             }
         } else {
             cx.emit(EV_CRC, 3, okA);
-            process_block(cx, car, blkA, LCH_UNKNOWN, okA, fn);
+            process_block(cx, car, blkA, LCH_UNKNOWN, okA, fn, 1);
             cx.emit(EV_CRC, 3, okB);
-            process_block(cx, car, blkB, LCH_UNKNOWN, okB, fn);
+            process_block(cx, car, blkB, LCH_UNKNOWN, okB, fn, 2);
         }
     }
 }
@@ -633,6 +804,35 @@ void *tetra_umac_create(int n_carriers) {
 }
 
 void tetra_umac_destroy(void *p) { delete (Ctx *)p; }
+
+// Load the keystore (reference tetra_crypto.c:284-379 database):
+// nets: n_nets x 4 int32 = mcc, mnc, ksg_type, security_class;
+// keys: n_keys x 4 int32 = mcc, mnc, key_type, key_num; keybytes:
+// n_keys x 10 bytes (80-bit CK each). Each key's KSG comes from its
+// own network entry (crypto.py TetraKey.network_info), resolved here.
+// Existing per-carrier network/CCK resolutions are refreshed.
+void tetra_umac_set_keys(void *p, const int32_t *nets, int64_t n_nets,
+                         const int32_t *keys, int64_t n_keys,
+                         const uint8_t *keybytes) {
+    Ctx &cx = *(Ctx *)p;
+    cx.nets.clear();
+    cx.keys.clear();
+    for (int64_t i = 0; i < n_nets; i++) {
+        const int32_t *r = nets + 4 * i;
+        cx.nets.push_back(NetRec{r[0], r[1], r[2], r[3]});
+    }
+    for (int64_t i = 0; i < n_keys; i++) {
+        const int32_t *r = keys + 4 * i;
+        KeyRec k{r[0], r[1], r[2], r[3], 0, {}};
+        for (const NetRec &n : cx.nets)
+            if (n.mcc == k.mcc && n.mnc == k.mnc) { k.ksg_type = n.ksg_type; break; }
+        std::memcpy(k.key, keybytes + 10 * i, 10);
+        cx.keys.push_back(k);
+    }
+    for (Carrier &car : cx.carriers)
+        if (car.c_mcc >= 0)
+            update_current_network(cx, car, car.c_mcc, car.c_mnc);
+}
 
 // recs: n x 9 int32 = carrier, lchan, crc_ok, blk_num, tn, fn, mn,
 // bit offset, bit length (offsets into `bits`, 1 byte per bit).
@@ -656,8 +856,9 @@ int64_t tetra_umac_process(void *p, const uint8_t *bits,
         Carrier &car = cx.carriers[carrier];
         cx.cur_carrier = carrier;
         cx.cur_slot_tn = tn >= 0 && tn < NR_FRAGSLOTS ? tn : 0;
+        cx.cur_tn = tn; cx.cur_fn = fn; cx.cur_mn = r[6];
         Bits all{bits + r[7], r[8]};
-        process_block(cx, car, all, lchan, crc_ok, fn);
+        process_block(cx, car, all, lchan, crc_ok, fn, r[3]);
     }
     if (overflow) *overflow = (int32_t)cx.overflow;
     return cx.ev_n;

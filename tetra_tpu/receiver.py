@@ -103,6 +103,8 @@ def run_rtltcp(args):
 
 
 def main(argv=None):
+    from tetra_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     g = p.add_mutually_exclusive_group(required=True)

@@ -480,6 +480,8 @@ class TetraReceiver:
 
 
 def main(argv=None):
+    from tetra_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     """CLI entry point mirroring `tetra-rx [-d DUMPDIR] [-k KEYSTORE] <bits>`."""
     import argparse
     p = argparse.ArgumentParser(description="TPU-native TETRA receiver")

@@ -75,6 +75,9 @@ class MultiCarrierReceiver:
             from tetra_tpu.umac.native_exec import NativeControlPlane
             from tetra_tpu.fastpath import FastChunkPipeline
             self.native_cp = NativeControlPlane(n_carriers)
+            if keystore_path:
+                from tetra_tpu.crypto.crypto import load_keystore
+                self.native_cp.set_keys(load_keystore(keystore_path))
             self._fast = FastChunkPipeline(n_carriers)
             self._pending = []
         else:

@@ -135,6 +135,8 @@ def render_spectrum(centers, power_db, floor_db, width: int = 64,
 
 
 def main(argv=None):
+    from tetra_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("capture", nargs="?", help="complex64 cfile")

@@ -68,6 +68,8 @@ def loopback_soak(iterations: int = 100, seed: int = 0) -> int:
 
 
 def main(argv=None):
+    from tetra_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     # correctness tool: pin the CPU backend (the TPU plugin ignores
     # JAX_PLATFORMS; eager TX ops would compile one executable per op)
     import jax

@@ -7,9 +7,10 @@ type-1 bit records and emits compact structured events. The Python
 implementation stays the semantics reference; tests/test_native_umac.py
 differential-tests the two event streams.
 
-Scope: the unencrypted fast path. Encrypted MAC elements are reported
-(RESOURCE event with the encrypted flag) but not decrypted — carriers
-that need decryption route through the Python plane.
+Decryption runs on the native hot path (reference
+src/tetra_crypto.c:211-252): load a keystore with set_keys and
+encrypted MAC elements decrypt in C++ via the batch TEA core — no
+Python fallback needed for encrypted carriers.
 """
 from __future__ import annotations
 
@@ -101,6 +102,11 @@ def _load():
     lib.tetra_umac_get_states.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
     lib.tetra_umac_get_states.restype = None
+    lib.tetra_umac_set_keys.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8)]
+    lib.tetra_umac_set_keys.restype = None
     _lib = lib
     return _lib
 
@@ -130,6 +136,25 @@ class NativeControlPlane:
         if self._ctx:
             self._lib.tetra_umac_destroy(self._ctx)
             self._ctx = None
+
+    def set_keys(self, db):
+        """Load a crypto.CryptoDatabase into the executor (reference
+        keystore database, tetra_crypto.c:284-379): encrypted MAC
+        elements then decrypt on the native hot path."""
+        nets = np.asarray([(n.mcc, n.mnc, n.ksg_type, n.security_class)
+                           for n in db.nets], np.int32).reshape(-1, 4)
+        keys = np.asarray([(k.mcc, k.mnc, k.key_type, k.key_num)
+                           for k in db.keys], np.int32).reshape(-1, 4)
+        keybytes = np.frombuffer(
+            b"".join(bytes(k.key[:10]).ljust(10, b"\0") for k in db.keys),
+            np.uint8) if db.keys else np.zeros(0, np.uint8)
+        nets = np.ascontiguousarray(nets)
+        keys = np.ascontiguousarray(keys)
+        keybytes = np.ascontiguousarray(keybytes)
+        p32 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        p8 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        self._lib.tetra_umac_set_keys(self._ctx, p32(nets), len(nets),
+                                      p32(keys), len(keys), p8(keybytes))
 
     def __del__(self):  # pragma: no cover
         try:

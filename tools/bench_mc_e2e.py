@@ -7,8 +7,11 @@ number, not a kernel number. Prints one JSON line.
 Usage: python tools/bench_mc_e2e.py [n_carriers] [n_frames] [chunks]
 """
 import json
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 import numpy as np
 import jax
@@ -46,10 +49,9 @@ def make_stream(rng, n_frames):
                           + frames)
 
 
-def main():
-    n_car = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    n_chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+def run(n_car=1024, n_frames=8, n_chunks=4):
+    """One timed end-to-end pass; returns the result dict (also used by
+    bench.py for the headline integrated number)."""
     rng = np.random.default_rng(0)
     row = make_stream(rng, n_frames)
     bits = np.tile(row, (n_car, 1))
@@ -60,7 +62,7 @@ def main():
     T = bits.shape[1]
     cuts = np.linspace(0, T, n_chunks + 1).astype(int)
 
-    def run():
+    def one_pass():
         mc = MultiCarrierReceiver(np.zeros(n_car), fs=25_000.0 * n_car,
                                   control_plane="native")
         for k in range(n_chunks):
@@ -71,9 +73,9 @@ def main():
                                     final=k == n_chunks - 1)
         return mc, stats
 
-    mc, stats = run()          # warm (compile)
+    mc, stats = one_pass()     # warm (compile)
     t0 = time.perf_counter()
-    mc, stats = run()
+    mc, stats = one_pass()
     dt = time.perf_counter() - t0
 
     crc_ok = sum(s.crc_ok for s in stats)
@@ -81,15 +83,23 @@ def main():
     n_events = sum(len(e["kind"]) for e in mc.native_events)
     stream_s = T / BITRATE
     rt_mult = stream_s / (dt / 1)  # x real time for ALL carriers
-    print(json.dumps({
+    res = {
         "n_carriers": n_car, "bits_per_carrier": T, "chunks": n_chunks,
         "wall_s": round(dt, 3), "stream_s": round(stream_s, 3),
         "crc_ok": int(crc_ok), "crc_err": int(crc_bad),
         "native_events": n_events,
         "realtime_carriers_e2e": round(n_car * rt_mult, 1),
-        "mbits_per_s": round(n_car * T / dt / 1e6, 1)}))
+        "mbits_per_s": round(n_car * T / dt / 1e6, 1)}
     assert crc_ok > 0 and crc_ok >= 0.9 * (crc_ok + crc_bad), \
         (crc_ok, crc_bad)
+    return res
+
+
+def main():
+    n_car = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    print(json.dumps(run(n_car, n_frames, n_chunks)))
 
 
 if __name__ == "__main__":
