@@ -353,14 +353,26 @@ def phase_to_bits(symbols, afc: bool = False, filter_val: float = 1e-4,
                   filter_goal: float = 0.0) -> np.ndarray:
     """Host slicer with the optional one-pole pseudo-AFC
     (reference float_to_bits.c:142-149). Sequential by nature; used for
-    file-based parity runs."""
+    file-based parity runs.
+
+    Arithmetic reproduces the C program's mixed float/double evaluation
+    exactly (filter stored as float32; `filter * (1.0 - filter_val)`
+    promotes to double, `(fl - goal) * filter_val` stays float32), so
+    the output is bit-identical to the compiled reference — pinned by
+    tests/test_ref_slicer.py incl. the -a mode over drift ramps.
+    """
     out = np.zeros(len(symbols) * 2, dtype=np.uint8)
-    filt = 0.0
+    fv = np.float32(filter_val)
+    fg = np.float32(filter_goal)
+    one_minus = np.float64(1.0) - np.float64(fv)
+    filt = np.float32(0.0)
     for i, fl in enumerate(np.asarray(symbols, dtype=np.float32)):
         if afc:
             if -5.0 < fl < 5.0:
-                filt = filt * (1.0 - filter_val) + (fl - filter_goal) * filter_val
-            fl = fl - filt
+                t2 = np.float32(np.float32(fl - fg) * fv)
+                filt = np.float32(np.float64(filt) * one_minus
+                                  + np.float64(t2))
+            fl = np.float32(fl - filt)
         if fl > 2:
             d = (0, 1)
         elif fl > 0:
