@@ -56,6 +56,34 @@ def run_udp(rx: TetraReceiver, port: int, fmt: str, sps: int,
         src.close()
 
 
+def run_audio(rx: TetraReceiver, args):
+    """fcdp audio-card ingest (reference src/demod/fcdp-tetra_demod.py):
+    stereo PCM I/Q from a pipe/file -> ONE batched device program (mix
+    at the calibration offset + 25 kHz low-pass + polyphase resample to
+    36 kHz, phy.channelizer) -> demod -> streaming decode."""
+    import jax.numpy as jnp
+    from tetra_tpu.io.audio import AudioPipeSource
+    from tetra_tpu.phy import channelizer, dqpsk
+
+    src = AudioPipeSource(args.audio, sample_rate=args.audio_rate,
+                          fmt=args.audio_fmt, swap_iq=args.swap_iq)
+    offsets = np.asarray([args.calibration], np.float32)
+    try:
+        for iq in src.stream(chunk=int(args.audio_rate)):
+            re = jnp.asarray(np.real(iq)[None].astype(np.float32))
+            im = jnp.asarray(np.imag(iq)[None].astype(np.float32))
+            cr, ci = channelizer.channelize_ri(re[0], im[0],
+                                               jnp.asarray(offsets),
+                                               fs=args.audio_rate)
+            bits = np.asarray(dqpsk.demodulate_hard_ri(cr, ci, sps=2))[0]
+            rx.process_bits(bits, final=False)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        rx.process_bits(np.zeros(0, np.uint8), final=True)
+        src.close()
+
+
 def run_rtltcp(args):
     """Live multi-carrier receive from an rtl_tcp server: scan (or take
     explicit offsets), then stream chunks through the batched wideband
@@ -112,6 +140,18 @@ def main(argv=None):
                    help=f"listen for samples on UDP port (default {TELIVE_PORT})")
     g.add_argument("--file", help="capture file (.bits/.fl/.cfile)")
     g.add_argument("--rtltcp", help="rtl_tcp server host[:port] (live SDR)")
+    g.add_argument("--audio", help="fcdp audio-card I/Q: stereo PCM path "
+                   "or '-' for stdin (arecord -f S16_LE -c 2 -r 96000 -t "
+                   "raw | ...)")
+    p.add_argument("--audio-rate", type=float, default=96_000.0,
+                   help="audio sample rate (fcdp default 96000)")
+    p.add_argument("--audio-fmt", default="s16le",
+                   choices=("s16le", "f32le"))
+    p.add_argument("--swap-iq", action="store_true",
+                   help="swap the I/Q channel pairing")
+    p.add_argument("--calibration", type=float, default=0.0,
+                   help="frequency offset to translate out (the "
+                   "reference's -c)")
     p.add_argument("--fmt", default="auto", choices=("auto", "bits", "float", "iq"))
     p.add_argument("--sps", type=int, default=2, help="samples per symbol for IQ")
     p.add_argument("--freq", type=float, help="tuner centre frequency (Hz)")
@@ -133,7 +173,9 @@ def main(argv=None):
 
     rx = TetraReceiver(keystore_path=args.keystore, dumpdir=args.dumpdir,
                        gsmtap_host=args.gsmtap)
-    if args.file:
+    if args.audio:
+        run_audio(rx, args)
+    elif args.file:
         kind, data = load_capture(args.file, args.fmt)
         rx.process_bits(capture_to_bits(kind, data, sps=args.sps))
     else:
