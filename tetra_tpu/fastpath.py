@@ -18,7 +18,7 @@ BYTES, not compute.  This module collapses one ingest chunk into:
           The sync carry, scrambling codes and the ring tail stay
           device-resident between chunks, so chunk k+1 can be DISPATCHED
           before chunk k's bundle is fetched (one-deep pipelining).
-  d2h:    ONE fetch of [B, maxs*56 + 32] bytes; traffic payloads stay
+  d2h:    ONE fetch of [B, maxs*53 + 32] bytes; traffic payloads stay
           on device and are gathered lazily per traffic slot.
   host:   numpy-vectorised record assembly (no per-slot Python), then
           ONE C++ walk (native/umac_exec.cpp::tetra_umac_walk2) that
@@ -50,7 +50,7 @@ from tetra_tpu.rx import _pack_selected, _PACK_BITS
 __all__ = ["FastChunkPipeline", "fused_chunk", "max_slots",
            "ROW_BYTES", "RING_PAD"]
 
-ROW_BYTES = 56            # 51 packed payload bytes + okA okB kind valid delta
+ROW_BYTES = 53            # 51 packed payload bytes + flags + delta
 _PAY_BYTES = 51           # ceil(406 / 8); unpacks to 408 columns
 SIDE_I32 = 8              # n_slots tail st bs nb nfs si scramb
 RING_PAD = RING_BITS + 512   # device-resident tail: ring depth + slack
@@ -176,12 +176,15 @@ def fused_chunk(ring, packed, end_rel, rebase, st0, bs0, nb0, nfs0, fed_rel,
                   ((0, 0), (0, _PAY_BYTES * 8 - _PACK_BITS)))
     w8 = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
     pay_b = (pay.reshape(-1, _PAY_BYTES, 8).astype(jnp.int32) * w8).sum(-1)
+    # one flag byte: kind(2) | okA<<2 | okB<<3 | valid<<4 — every
+    # fetched byte costs d2h bandwidth on the tunnel
+    flags = (kflat.astype(jnp.int32)
+             | (pk[:, _PACK_BITS].astype(jnp.int32) << 2)
+             | (pk[:, _PACK_BITS + 1].astype(jnp.int32) << 3)
+             | (valid.reshape(-1).astype(jnp.int32) << 4))
     row = jnp.concatenate([
         pay_b.astype(jnp.uint8),
-        pk[:, _PACK_BITS].astype(jnp.uint8)[:, None],       # okA
-        pk[:, _PACK_BITS + 1].astype(jnp.uint8)[:, None],   # okB
-        kflat.astype(jnp.uint8)[:, None],
-        valid.reshape(-1, 1).astype(jnp.uint8),
+        flags.astype(jnp.uint8)[:, None],
         jnp.clip(delta.reshape(-1, 1), 0, 255).astype(jnp.uint8)], axis=1)
     side = jnp.stack([n_slots, tail, st, bs, nb, nfs, si,
                       lax.bitcast_convert_type(scr_final, jnp.int32)],
@@ -275,17 +278,19 @@ class FastChunkPipeline:
         n_slots = side[:, 0]
         if (n_slots > maxs).any():
             raise RuntimeError("slot compaction overflow (bound bug)")
-        vm = rows[:, :, _PAY_BYTES + 3].astype(bool)
+        flags = rows[:, :, _PAY_BYTES]
+        vm = (flags & 16).astype(bool)
         cars, js = np.nonzero(vm)
         sel = rows[cars, js]
         payload = np.unpackbits(
             np.ascontiguousarray(sel[:, :_PAY_BYTES]), axis=1)
+        f = sel[:, _PAY_BYTES].astype(np.int32)
         return {
             "carrier": cars.astype(np.int32),
-            "okA": sel[:, _PAY_BYTES].astype(np.int32),
-            "okB": sel[:, _PAY_BYTES + 1].astype(np.int32),
-            "kind": sel[:, _PAY_BYTES + 2].astype(np.int32),
-            "delta": sel[:, _PAY_BYTES + 4].astype(np.int32),
+            "okA": (f >> 2) & 1,
+            "okB": (f >> 3) & 1,
+            "kind": f & 3,
+            "delta": sel[:, _PAY_BYTES + 1].astype(np.int32),
             "payload": payload,
             "slot_ref": (cars * maxs + js).astype(np.int32),
             "n_slots": n_slots, "tail": side[:, 1],

@@ -116,6 +116,13 @@ class MultiCarrierReceiver:
         bits = np.asarray(bits, dtype=np.uint8)
         assert bits.ndim == 2 and bits.shape[0] == len(self.carriers)
         if self.control_plane == "native":
+            if self._pending:
+                # prefetch hint: start the pending bundle's d2h copy
+                # while this chunk's host-side packing runs
+                try:
+                    self._pending[0].bundle.copy_to_host_async()
+                except Exception:
+                    pass
             h = self._fast.submit(bits)
             if h is not None:
                 self._pending.append(h)

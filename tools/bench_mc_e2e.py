@@ -74,9 +74,15 @@ def run(n_car=1024, n_frames=8, n_chunks=4):
         return mc, stats
 
     mc, stats = one_pass()     # warm (compile)
-    t0 = time.perf_counter()
-    mc, stats = one_pass()
-    dt = time.perf_counter() - t0
+    # median of 3 timed passes — the same methodology as bench.py's
+    # stages (tunnel jitter is tens of ms per RPC; a single sample
+    # spreads ~10% run to run)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        mc, stats = one_pass()
+        samples.append(time.perf_counter() - t0)
+    dt = float(np.median(samples))
 
     crc_ok = sum(s.crc_ok for s in stats)
     crc_bad = sum(s.crc_wrong for s in stats)
