@@ -121,6 +121,24 @@ class TestSegmentedViterbi:
                     fused.BOUNDARIES, tile_b=8, interpret=True))
                 np.testing.assert_array_equal(p8, ref)
 
+    def test_grouped_bm_matches_ungrouped(self):
+        """group>1 (one branch-metric matmul per `group` quad-steps)
+        must be decision-identical to the plain int8 radix-16 path on
+        tie-heavy quantized data, across restart masks."""
+        rng = np.random.default_rng(11)
+        vals = (rng.integers(-1, 2, size=(16, fused.N_MOTHER))).astype(
+            np.int8)
+        rmask = jnp.asarray(rng.integers(0, 2, size=(16, 3))
+                            .astype(np.float32))
+        ref = np.asarray(decode_segmented_pallas(
+            jnp.asarray(vals), rmask, fused.N_SYM, fused.BOUNDARIES,
+            tile_b=8, interpret=True))
+        for g in (2, 4):
+            got = np.asarray(decode_segmented_pallas(
+                jnp.asarray(vals), rmask, fused.N_SYM, fused.BOUNDARIES,
+                tile_b=8, interpret=True, group=g))
+            np.testing.assert_array_equal(got, ref, err_msg=f"group={g}")
+
     def test_clean_roundtrip_segments(self):
         rng = np.random.default_rng(8)
         data = rng.integers(0, 2, size=(4, 288)).astype(np.int8)

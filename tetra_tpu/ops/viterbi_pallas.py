@@ -187,6 +187,89 @@ def _tables16(generators):
     return sgn16, rank
 
 
+def _make_segmented_kernel16g(n_sym: int, n_out: int, tile_b: int,
+                              boundaries: tuple, group: int):
+    """Grouped-branch-metric radix-16 (int8 only): ONE MXU call computes
+    the branch metrics for `group` consecutive quad-steps (soft
+    pre-laid-out as [T/4G, 4N, G, tile]; the G axis rides the matmul's
+    lane dimension), and the serial ACS loop consumes lane slices —
+    group× fewer MXU dispatches on the latency-bound dependency chain.
+    Decisions are identical to _make_segmented_kernel16's int8 path
+    (same candidate ranking, same packed tie-break)."""
+    assert n_sym % 4 == 0 and all(b % 4 == 0 for b in boundaries)
+    segs = tuple(s // 4 for s in (0,) + tuple(boundaries) + (n_sym,))
+    assert all((segs[i + 1] - segs[i]) % group == 0
+               for i in range(len(segs) - 1)), (segs, group)
+    nb = len(boundaries)
+
+    def kernel(soft_ref, sgn_ref, rm_ref, bits_ref, dec_ref,
+               metric_ref, bstate_ref):
+        neg = jnp.int32(-(2 ** 27))
+        sgn = sgn_ref[:]            # [256, 4N] int8 (x16 prescale)
+        row = jax.lax.broadcasted_iota(jnp.int32, (16, tile_b), 0)
+        init = jnp.where(row == 0, jnp.int32(0), neg)
+        metric_ref[:] = init
+        rev_row_i = (jnp.bitwise_or(
+            jnp.bitwise_or((row & 1) << 3, (row & 2) << 1),
+            jnp.bitwise_or((row & 4) >> 1, (row & 8) >> 3)))    # [16, tile]
+
+        def acs_group(g, _):
+            symg = soft_ref[pl.ds(g, 1)][0]                 # [4N, G, tile]
+            bmg = jnp.dot(sgn, symg.reshape(4 * n_out, group * tile_b),
+                          preferred_element_type=jnp.int32)  # [256, G*tile]
+            for s in range(group):
+                bm = bmg[:, s * tile_b:(s + 1) * tile_b]
+                m = metric_ref[:]
+                c = (bm.reshape(16, 16, tile_b)
+                     + (m + (15 - rev_row_i))[:, None, :])   # [p, ns, t]
+                best = jnp.max(c, axis=0)                    # [16, tile]
+                dec_ref[pl.ds(g * group + s, 1), :, :] = \
+                    (15 - (best & 15)).astype(jnp.int8)[None]
+                metric_ref[:] = best & -16
+            return 0
+
+        def onehot_best(m):
+            best = jnp.max(m, axis=0, keepdims=True)
+            min_rank = jnp.min(jnp.where(m == best, row, 16), axis=0,
+                               keepdims=True)
+            return (row == min_rank).astype(jnp.float32)
+
+        for k in range(nb + 1):
+            if k > 0:
+                m = metric_ref[:]
+                bstate_ref[k - 1] = onehot_best(m)
+                r = rm_ref[pl.ds(k - 1, 1)]
+                metric_ref[:] = jnp.where(r > 0.0, init, m)
+            jax.lax.fori_loop(segs[k] // group, segs[k + 1] // group,
+                              acs_group, 0)
+
+        onehot = onehot_best(metric_ref[:])
+        rowf = row.astype(jnp.float32)
+        rev_row = rev_row_i.astype(jnp.float32)
+
+        def tb_step(t, onehot):
+            s = jnp.sum(onehot * rowf, axis=0, keepdims=True)   # [1, tile]
+            si = s.astype(jnp.int32)
+            bits4 = jnp.concatenate(
+                [((si >> 3) & 1)[None], ((si >> 2) & 1)[None],
+                 ((si >> 1) & 1)[None], (si & 1)[None]],
+                axis=0).astype(jnp.int8)                         # [4, 1, tile]
+            bits_ref[pl.ds(4 * t, 4), :, :] = bits4
+            decj = dec_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)
+            jpath = jnp.sum(onehot * decj, axis=0, keepdims=True)
+            return (rev_row == jpath).astype(jnp.float32)
+
+        for k in range(nb, -1, -1):
+            t0, t1 = segs[k], segs[k + 1]
+            onehot = jax.lax.fori_loop(
+                0, t1 - t0, lambda i, oh: tb_step(t1 - 1 - i, oh), onehot)
+            if k > 0:
+                r = rm_ref[pl.ds(k - 1, 1)]
+                onehot = bstate_ref[k - 1] * r + onehot * (1.0 - r)
+
+    return kernel
+
+
 def _make_segmented_kernel16(n_sym: int, n_out: int, tile_b: int,
                              boundaries: tuple, packed: bool = False):
     """Radix-16 variant of _make_segmented_kernel4: quarters the serial
@@ -465,11 +548,11 @@ def _make_segmented_kernel(n_sym: int, n_out: int, tile_b: int,
 
 @functools.partial(jax.jit, static_argnames=("n_sym", "boundaries",
                                              "generators", "tile_b",
-                                             "interpret", "radix"))
+                                             "interpret", "radix", "group"))
 def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
                             generators=CONV_GENERATORS_CCH,
                             tile_b: int = 1024, interpret: bool = False,
-                            radix: int = 16):
+                            radix: int = 16, group: int = 1):
     """Segmented decode: soft [B, >= n_sym*N] + per-lane reset masks
     rmask [B, len(boundaries)] (1.0 = trellis restarts at that boundary)
     -> hard bits [B, n_sym]. Where rmask is 1 at boundary t, bits [0:t)
@@ -505,7 +588,30 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
     Bp = soft.shape[0]
     rm_t = rmask.T  # [nb, Bp]
 
-    if use_r16:
+    qsegs = [s // 4 for s in (0,) + tuple(boundaries) + (n_sym,)]
+    use_g = (use_r16 and group > 1 and sdt == jnp.int8
+             and all((qsegs[i + 1] - qsegs[i]) % group == 0
+                     for i in range(len(qsegs) - 1)))
+    if use_g:
+        sgn16, _ = _tables16(generators)
+        # [T/4G, 4N, G, B]: `group` consecutive quad-steps share one
+        # branch-metric matmul (the G axis rides the lane dimension)
+        soft_tm = jnp.transpose(
+            soft.reshape(Bp, n_sym // (4 * group), group, 4 * n_out),
+            (1, 3, 2, 0))
+        kernel = _make_segmented_kernel16g(n_sym, n_out, tile,
+                                           tuple(boundaries), group)
+        in_specs = [
+            pl.BlockSpec((n_sym // (4 * group), 4 * n_out, group, tile),
+                         lambda i: (0, 0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 4 * n_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(nb, 1), tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        consts = (jnp.asarray(sgn16 * 16.0).astype(sdt),)
+        dec_scratch = pltpu.VMEM((n_sym // 4, 16, tile), jnp.int8)
+    elif use_r16:
         sgn16, rank = _tables16(generators)
         # packed tie-break needs integer metrics: guaranteed by the
         # hard chains' int8/bf16 alphabets (see sdt above); f32 inputs

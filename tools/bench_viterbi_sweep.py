@@ -41,30 +41,33 @@ def main():
     B_SMALL, B_BIG = 16384, 65536
     n_in = N_SYM * 4
 
-    for dtype in ("int8", "float32"):
+    configs = ([("int8", t, g) for t in tiles for g in (1, 2, 4)]
+               + [("float32", t, 1) for t in tiles])
+    for dtype, tile, group in configs:
         soft_big = rng.choice(np.asarray([-127, 0, 127]), (B_BIG, n_in))
-        soft_big = soft_big.astype(dtype)
+        soft_big = soft_big.astype("int8" if dtype == "int8" else dtype)
+        if dtype == "int8":
+            soft_big = (soft_big // 127).astype(np.int8)  # {0,±1} alphabet
         rm = np.zeros((B_BIG, len(BOUNDARIES)), np.float32)
         rm[::3, 0] = 1.0
-        for tile in tiles:
-            try:
-                f = jax.jit(lambda s, r, t=tile: decode_segmented_pallas(
-                    s, r, N_SYM, BOUNDARIES, tile_b=t).sum())
-                times = {}
-                for B in (B_SMALL, B_BIG):
-                    sd = jnp.asarray(soft_big[:B])
-                    rd = jnp.asarray(rm[:B])
-                    int(f(sd, rd))
-                    times[B] = median_time(lambda: int(f(sd, rd)))
-                rate = (B_BIG - B_SMALL) / (times[B_BIG] - times[B_SMALL])
-                print(json.dumps({"dtype": dtype, "tile": tile,
-                                  "slots_per_s": round(rate, 1),
-                                  "t_small": round(times[B_SMALL], 4),
-                                  "t_big": round(times[B_BIG], 4)}),
-                      flush=True)
-            except Exception as e:
-                print(json.dumps({"dtype": dtype, "tile": tile,
-                                  "error": str(e)[:200]}), flush=True)
+        try:
+            f = jax.jit(lambda s, r, t=tile, g=group: decode_segmented_pallas(
+                s, r, N_SYM, BOUNDARIES, tile_b=t, group=g).sum())
+            times = {}
+            for B in (B_SMALL, B_BIG):
+                sd = jnp.asarray(soft_big[:B])
+                rd = jnp.asarray(rm[:B])
+                int(f(sd, rd))
+                times[B] = median_time(lambda: int(f(sd, rd)))
+            rate = (B_BIG - B_SMALL) / (times[B_BIG] - times[B_SMALL])
+            print(json.dumps({"dtype": dtype, "tile": tile, "group": group,
+                              "slots_per_s": round(rate, 1),
+                              "t_small": round(times[B_SMALL], 4),
+                              "t_big": round(times[B_BIG], 4)}),
+                  flush=True)
+        except Exception as e:
+            print(json.dumps({"dtype": dtype, "tile": tile, "group": group,
+                              "error": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":
