@@ -72,7 +72,11 @@ def main():
     from tetra_tpu import tx
     from tetra_tpu.ops.scramble import scramb_get_init
 
-    B_SMALL, B_BIG = 16384, 65536
+    # the differential between the two sizes must dwarf the tunnel's
+    # fixed ~25 ms per-call overhead: at 65536 the FEC stage's compute
+    # delta was ~2 ms (noise-limited, r02 spread ±30%); 131072 doubles
+    # the signal
+    B_SMALL, B_BIG = 16384, 131072
     init = scramb_get_init(262, 42, 1)
 
     # fixture generation on the host CPU backend (eager TX is many tiny
