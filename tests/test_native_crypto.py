@@ -245,6 +245,71 @@ class TestNativeDecryption:
         assert res and all((t[5] & 1) == 1 for t in res), res
         assert not any(t[1] == EV.TLSDU for t in got[0])
 
+    def test_second_half_216_skip_differential(self):
+        """Encrypted RESOURCE in a second-half block (blk_num=2, lchan
+        UNKNOWN/SCH_HD) uses the 216-bit keystream skip
+        (tetra_crypto.c:211-252). Record-level differential: Python
+        UpperMac with a prepopulated crypto state vs the native plane
+        bootstrapped through one SYNC walk slot — same SB2/NDB2
+        records, same decisions, correct plaintext."""
+        from tests.test_native_umac import _mle_pdut
+        from tetra_tpu.llc.llc import LlcState
+        from tetra_tpu.umac.upper_mac import UpperMac, LogicalChannel
+
+        tcs, key = _tx_tcs()
+        # build the second-half ciphertext: skip=216 via the encryptor
+        pdu = np.array(testpdu.make_resource_pdu(
+            ssi=0x2222, sdu_bits=testpdu.make_bl_udata(
+                testpdu.make_mle_cmce_dsetup()), fill=False, total_len=124))
+        pdu[4:6] = [0, 1]
+        rsd = mac_pdu.decode_resource(pdu)
+        t = TdmaTime(tn=2, fn=2, mn=3)
+        enc, ok = decrypt_mac_element(
+            tcs, key, pdu[: rsd.macpdu_length * 8], t, rsd.bit_len,
+            lchan_second_half=True)
+        assert ok
+        full = np.array(pdu, np.uint8)
+        full[: rsd.macpdu_length * 8] = enc
+
+        # python plane: UpperMac with the same crypto state
+        sink = []
+
+        def tl_cb(bits, length, _s=sink):
+            pdisc, pdut = _mle_pdut(np.asarray(bits[:length]))
+            _s.append(("TLSDU", pdisc, pdut, length))
+
+        llc = LlcState(log=lambda *a, **k: None, tl_sdu_cb=tl_cb)
+        llc.event_cb = sink.append
+        # resolve network + CCK like the receiver's SYNC handling would
+        tcs.update_current_network(MCC, MNC)
+        um = UpperMac(crypto_state=tcs, llc=llc, log=lambda *a, **k: None)
+        um.events = sink
+        um.rx_slot(full, LogicalChannel.UNKNOWN, True, t, blk_num=2)
+        py = normalize_py_events(0, sink)
+
+        # native plane: keystore + crypto state via one SYNC walk slot
+        # whose SB2 carries the CCK SYSINFO, then the same record
+        cp = native_exec.NativeControlPlane(1)
+        cp.set_keys(tcs.db)
+        sb1 = np.asarray(testpdu.make_sync_pdu(
+            cc=CC, tn=1, fn=2, mn=3, mcc=MCC, mnc=MNC), np.uint8)
+        bbk = np.asarray(testpdu.make_access_assign_bits(), np.uint8)
+        boot = np.concatenate([sb1, bbk, _cck_sysinfo()]).astype(np.uint8)
+        wrec = np.asarray([[0, 0, 1, 2, 3, 1, 1, 0, len(sb1), len(sb1),
+                            14, len(sb1) + 14, 124, 0]], np.int32)
+        cp.walk(boot, wrec)
+        rec = np.asarray([[0, LogicalChannel.UNKNOWN, 1, 2, t.tn, t.fn,
+                           t.mn, 0, len(full)]], np.int32)
+        ev = cp.process(full, rec)
+        nat = cp.events_as_tuples(ev)
+        cp.close()
+
+        # decrypted: CMCE D-SETUP parses on both planes identically
+        assert any(k == EV.TLSDU and a == 2 for _, k, a, b, c, d in nat)
+        res = [t_ for t_ in nat if t_[1] == EV.RESOURCE]
+        assert res and (res[0][5] & 1) == 0, res
+        assert py == nat, (py, nat)
+
     def test_encrypted_fragment_differential(self, tmp_path):
         """START-FRAG/MAC-FRAG/MAC-END each decrypt with their own
         slot-time keystream; the reassembled TL-SDU parses as CMCE."""
