@@ -67,6 +67,21 @@ class TestAudioSource:
                               fmt="f32le", swap_iq=True)
         np.testing.assert_allclose(src.read(2), z, atol=1e-6)
 
+    def test_narrow_capture_scan(self):
+        """The scan's narrow-capture fallback (audio-rate spans where
+        the 25 kHz raster degenerates): PSD-peak offset estimate within
+        ~1 kHz, then decode confirmation — the measured analogue of
+        reading the calibration off fcdp-tetra_demod_fft.py's plot."""
+        from tetra_tpu import scan as scanner
+        iq36 = _carrier_iq(n_sync=20)
+        wide = channelizer.synthesize_wideband(iq36, [25_000.0],
+                                               fs=FS_AUDIO)
+        results, _ = scanner.scan(wide, FS_AUDIO, confirm=True)
+        assert len(results) == 1
+        r = results[0]
+        assert abs(r["offset_hz"] - 25_000.0) <= 1_500.0, r
+        assert r["confirmed"] and r["mcc"] == 262 and r["mnc"] == 42, r
+
     def test_fcdp_chain_decodes(self):
         """96 kHz stereo PCM with a +5 kHz calibration offset decodes
         through the --audio path's device chain."""

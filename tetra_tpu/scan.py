@@ -69,9 +69,36 @@ def detect_carriers(iq, fs: float, thresh_db: float = 8.0,
                     nfft: int = 4096):
     """Channels whose in-band power exceeds the noise floor (median
     channel power) by thresh_db. Returns (offsets_hz [K], snr_db [K],
-    (centers, power_db) for plotting)."""
+    (centers, power_db) for plotting).
+
+    Narrow captures (audio-rate fcdp: fewer than 3 raster channels fit)
+    fall back to a PSD-peak offset estimate — the measured equivalent
+    of reading the calibration offset off the reference's FFT plot
+    (fcdp-tetra_demod_fft.py) — so one candidate at the estimated
+    offset is returned for decode confirmation."""
     freqs, psd_db = power_spectrum(iq, fs, nfft)
     centers, power = channel_power(freqs, psd_db, fs)
+    if len(centers) < 3:
+        floor = float(np.median(psd_db))
+        # in-band PSD centroid around the strongest bin (±9 kHz = half
+        # the occupied bandwidth), rounded to 100 Hz
+        usable = np.abs(freqs) <= fs / 2.0 - 9_000.0
+        pk = np.flatnonzero(usable)[np.argmax(psd_db[usable])]
+        # the peak bin of a (flat-topped) DQPSK spectrum can sit at the
+        # band edge; iterate the in-band centroid, re-centering the
+        # ±9 kHz window, until it settles on the true carrier centre
+        est = float(freqs[pk])
+        for _ in range(4):
+            m = np.abs(freqs - est) <= 9_000.0
+            lin = 10.0 ** (psd_db[m] / 10.0)
+            est = float((freqs[m] * lin).sum() / lin.sum())
+        off = round(est / 100.0) * 100.0
+        snr1 = float(psd_db[pk] - floor)
+        if snr1 >= thresh_db:
+            return (np.asarray([off]), np.asarray([snr1]),
+                    (centers, power, float(np.median(power))))
+        return (np.zeros(0), np.zeros(0),
+                (centers, power, float(np.median(power))))
     floor = np.median(power)
     snr = power - floor
     hot = snr >= thresh_db
@@ -142,6 +169,11 @@ def main(argv=None):
     p.add_argument("capture", nargs="?", help="complex64 cfile")
     p.add_argument("--fs", type=float, help="capture sample rate (Hz)")
     p.add_argument("--rtltcp", help="rtl_tcp server host[:port]")
+    p.add_argument("--audio", help="fcdp audio-card I/Q: stereo PCM path "
+                   "or '-' (the fcdp-tetra_demod_fft.py spectrum analogue)")
+    p.add_argument("--audio-rate", type=float, default=96_000.0)
+    p.add_argument("--audio-fmt", default="s16le",
+                   choices=("s16le", "f32le"))
     p.add_argument("--freq", type=float, help="tuner centre frequency (Hz)")
     p.add_argument("--rate", type=float, default=1.8e6,
                    help="tuner sample rate (Hz; reference default 1.8 Msps)")
@@ -164,6 +196,13 @@ def main(argv=None):
         src.configure(freq_hz=args.freq or 0.0, rate_hz=args.rate,
                       gain_db=args.gain, ppm=args.ppm)
         fs = args.rate
+        iq = src.read(int(args.secs * fs))
+        src.close()
+    elif args.audio:
+        from tetra_tpu.io.audio import AudioPipeSource
+        src = AudioPipeSource(args.audio, sample_rate=args.audio_rate,
+                              fmt=args.audio_fmt)
+        fs = args.audio_rate
         iq = src.read(int(args.secs * fs))
         src.close()
     else:
