@@ -67,9 +67,25 @@ def run_audio(rx: TetraReceiver, args):
 
     src = AudioPipeSource(args.audio, sample_rate=args.audio_rate,
                           fmt=args.audio_fmt, swap_iq=args.swap_iq)
-    offsets = np.asarray([args.calibration], np.float32)
+    cal = args.calibration
+    head = None
+    if str(cal).lower() == "auto":
+        # measure the offset off the first second (the fcdp FFT-plot
+        # click, by measurement) and keep those samples for decoding
+        from tetra_tpu import scan as scanner
+        head = src.read(int(args.audio_rate))
+        offs, snrs, _ = scanner.detect_carriers(head, args.audio_rate)
+        cal = float(offs[0]) if len(offs) else 0.0
+        print(f"calibration auto: {cal:+.0f} Hz"
+              + (f" (snr {snrs[0]:.1f} dB)" if len(offs) else " (no carrier)"),
+              file=sys.stderr)
+    offsets = np.asarray([float(cal)], np.float32)
     try:
-        for iq in src.stream(chunk=int(args.audio_rate)):
+        import itertools
+        chunks = src.stream(chunk=int(args.audio_rate))
+        if head is not None and len(head):
+            chunks = itertools.chain([head], chunks)
+        for iq in chunks:
             re = jnp.asarray(np.real(iq)[None].astype(np.float32))
             im = jnp.asarray(np.imag(iq)[None].astype(np.float32))
             cr, ci = channelizer.channelize_ri(re[0], im[0],
@@ -149,9 +165,10 @@ def main(argv=None):
                    choices=("s16le", "f32le"))
     p.add_argument("--swap-iq", action="store_true",
                    help="swap the I/Q channel pairing")
-    p.add_argument("--calibration", type=float, default=0.0,
+    p.add_argument("--calibration", default="0",
                    help="frequency offset to translate out (the "
-                   "reference's -c)")
+                   "reference's -c), or 'auto' to measure it off the "
+                   "first second of samples")
     p.add_argument("--fmt", default="auto", choices=("auto", "bits", "float", "iq"))
     p.add_argument("--sps", type=int, default=2, help="samples per symbol for IQ")
     p.add_argument("--freq", type=float, help="tuner centre frequency (Hz)")
