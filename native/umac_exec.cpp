@@ -49,6 +49,9 @@ enum EvKind {
     EV_TMSDU_RUNT = 16,  // a=length
     EV_TRAFFIC = 17,     // a=slot_ref b=1 when NDB half-slot c=usage
     EV_CRC = 18,         // a=block (0 SB1/1 SB2/2 SCHF/3 NDB) b=crc_ok
+    EV_GSMTAP = 19,      // a=row b=lchan c=(blk<<20)|(tn<<16)|(fn<<8)|mn
+                         // d=bit offset into the block (opt-in via
+                         // tetra_umac_set_gsmtap; the host packetises)
 };
 
 // logical channels (tetra_tpu/umac/upper_mac.py LogicalChannel)
@@ -254,6 +257,12 @@ struct Ctx {
     // current dispatch context for decryption (TmvUnitdata fields)
     int cur_tn = 0, cur_fn = 0, cur_mn = 0;
     int cur_blk_num = 0, cur_lchan = 0;
+    // GSMTAP export (reference tetra_upper_mac.c:483-488 hook): when
+    // enabled, every CRC-OK TMV dispatch emits an EV_GSMTAP event the
+    // host turns into a UDP packet; cur_row locates the block's bits
+    // in the caller's packed rows (walk2 only)
+    int gsmtap = 0;
+    int cur_row = -1;
 
     void emit(int kind, int64_t a = 0, int64_t b = 0, int64_t c = 0,
               int64_t d = 0) {
@@ -705,6 +714,11 @@ void process_block(Ctx &cx, Carrier &car, const Bits &all, int lchan,
         cx.emit(EV_TMV, lchan, crc_ok, pdu_type);
         int64_t pdu_bits = -1;
         if (crc_ok) {
+            if (cx.gsmtap && cx.cur_row >= 0)
+                cx.emit(EV_GSMTAP, cx.cur_row, lchan,
+                        ((int64_t)blk_num << 20) | (cx.cur_tn << 16)
+                            | (cx.cur_fn << 8) | cx.cur_mn,
+                        offset);
             if (fn == 18) age_fragslots(cx, car);
             if (lchan == LCH_AACH) rx_aach(cx, car, b, fn);
             else if (lchan == LCH_BSCH) { /* SYNC handled above MAC */ }
@@ -857,6 +871,7 @@ int64_t tetra_umac_process(void *p, const uint8_t *bits,
         cx.cur_carrier = carrier;
         cx.cur_slot_tn = tn >= 0 && tn < NR_FRAGSLOTS ? tn : 0;
         cx.cur_tn = tn; cx.cur_fn = fn; cx.cur_mn = r[6];
+        cx.cur_row = -1;  // no packed rows in this entry point
         Bits all{bits + r[7], r[8]};
         process_block(cx, car, all, lchan, crc_ok, fn, r[3]);
     }
@@ -893,6 +908,7 @@ int64_t tetra_umac_walk(void *p, const uint8_t *bits,
         if (carrier < 0 || carrier >= (int)cx.carriers.size()) continue;
         Carrier &car = cx.carriers[carrier];
         cx.cur_carrier = carrier;
+        cx.cur_row = -1;  // no packed rows in this entry point
         Bits blkA{bits + r[7], r[8]};
         Bits bbk{bits + r[9], r[10]};
         Bits blkB{bits + r[11], r[12]};
@@ -932,6 +948,7 @@ int64_t tetra_umac_walk2(void *p, const uint8_t *bits,
         Carrier &car = cx.carriers[carrier];
         cx.cur_carrier = carrier;
         for (int k = 0; k < r[4]; k++) tdma_add_tn1(car);
+        cx.cur_row = r[5];
         const uint8_t *row = bits + (int64_t)r[5] * ROW_STRIDE;
         Bits blkA{row, LEN_A[kind]};
         Bits bbk{row + OFF_BBK, 14};
@@ -953,6 +970,12 @@ int64_t tetra_umac_walk2(void *p, const uint8_t *bits,
         for (int k = 0; k < tails[c]; k++) tdma_add_tn1(cx.carriers[c]);
     if (overflow) *overflow = (int32_t)cx.overflow;
     return cx.ev_n;
+}
+
+// toggle GSMTAP event emission (EV_GSMTAP per CRC-OK TMV dispatch in
+// the walk2 packed-row path; the host packetises + sends UDP)
+void tetra_umac_set_gsmtap(void *p, int on) {
+    ((Ctx *)p)->gsmtap = on ? 1 : 0;
 }
 
 // per-carrier walk2 state readback: out is [n_carriers, 6] int32 =

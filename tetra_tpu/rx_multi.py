@@ -40,7 +40,8 @@ class MultiCarrierReceiver:
                  keystore_path: str | None = None,
                  dumpdir: str | None = None, log=None,
                  pfb_channels=None, n_chan: int | None = None,
-                 control_plane: str = "python"):
+                 control_plane: str = "python",
+                 gsmtap_host: str | None = None):
         self.offsets = np.asarray(offsets_hz, dtype=np.float32)
         self.fs = float(fs)
         self.sps = sps
@@ -62,6 +63,10 @@ class MultiCarrierReceiver:
             self.carriers.append(TetraReceiver(
                 keystore_path=keystore_path,
                 dumpdir=f"{dumpdir}/carrier{i}" if dumpdir else None,
+                # native mode exports GSMTAP from ONE shared sink fed by
+                # the executor's events (below), not per-carrier sockets
+                gsmtap_host=(gsmtap_host if control_plane == "python"
+                             else None),
                 log=carrier_log))
         # control plane: "python" walks each carrier's UpperMac (full
         # logging, decryption); "native" routes all carriers' decoded
@@ -70,6 +75,7 @@ class MultiCarrierReceiver:
         assert control_plane in ("python", "native")
         self.control_plane = control_plane
         self.native_cp = None
+        self.gsmtap = None
         self.native_events = []   # accumulated event dicts (native mode)
         if control_plane == "native":
             from tetra_tpu.umac.native_exec import NativeControlPlane
@@ -78,6 +84,11 @@ class MultiCarrierReceiver:
             if keystore_path:
                 from tetra_tpu.crypto.crypto import load_keystore
                 self.native_cp.set_keys(load_keystore(keystore_path))
+            self.gsmtap = None
+            if gsmtap_host:
+                from tetra_tpu.io.gsmtap import GsmtapSink
+                self.gsmtap = GsmtapSink(gsmtap_host)
+                self.native_cp.set_gsmtap(True)
             self._fast = FastChunkPipeline(n_carriers)
             self._pending = []
         else:
@@ -167,6 +178,39 @@ class MultiCarrierReceiver:
             self._buf_base = keep
         return [rx.stats for rx in self.carriers]
 
+    # walk2 packed-row geometry (rx.py _PACK_* layout; see
+    # native/umac_exec.cpp ROW_STRIDE constants)
+    _GT_LEN_A = {0: 60, 1: 268, 2: 124}
+    _GT_LEN_B = {0: 124, 1: 0, 2: 124}
+
+    def _export_gsmtap(self, evd, d):
+        """Turn EV.GSMTAP events (one per CRC-OK TMV dispatch, emitted
+        by the C++ walk; reference hook tetra_upper_mac.c:483-488) into
+        UDP packets: same bits, lchan, TDMA time and timeslot as the
+        Python plane's per-PDU export."""
+        from tetra_tpu.umac.native_exec import EV
+        from tetra_tpu.tdma import TdmaTime
+        gt = np.flatnonzero(evd["kind"] == EV.GSMTAP)
+        for i in gt:
+            row = int(evd["a"][i])
+            lchan = int(evd["b"][i])
+            c = int(evd["c"][i])
+            off = int(evd["d"][i])
+            blk = (c >> 20) & 0xF
+            t = TdmaTime(tn=(c >> 16) & 0xF, fn=(c >> 8) & 0xFF,
+                         mn=c & 0xFF)
+            kind = int(d["kind"][row])
+            # section by dispatch identity: AACH rides the BBK bits;
+            # blk_num 2 is the second half-slot block; everything else
+            # (SB1, SCH/F, NDB1 — blk_num 1 or 0) is block A
+            if lchan == 8:                     # AACH -> BBK
+                sec = d["payload"][row][392:406]
+            elif blk == 2:
+                sec = d["payload"][row][268: 268 + self._GT_LEN_B[kind]]
+            else:
+                sec = d["payload"][row][: self._GT_LEN_A[kind]]
+            self.gsmtap.send(t, lchan, t.tn - 1, sec[off:])
+
     def _collect_walk(self, h):
         """Fetch one dispatched chunk and run the native control plane:
         numpy record assembly (no per-slot Python) + ONE C++ walk that
@@ -204,6 +248,9 @@ class MultiCarrierReceiver:
                                               int(states[c, 4]),
                                               int(states[c, 5]))
             rx.scramb_init = int(scr[c])
+
+        if self.gsmtap is not None:
+            self._export_gsmtap(evd, d)
 
         tr = np.flatnonzero(kinds == EV.TRAFFIC)
         if len(tr):

@@ -50,13 +50,14 @@ class EV:
     TMSDU_RUNT = 16
     TRAFFIC = 17
     CRC = 18
+    GSMTAP = 19
 
     NAMES = {0: "TMV", 1: "AACH", 2: "SYSINFO", 3: "RESOURCE",
              4: "FRAG_START", 5: "FRAG_CONT", 6: "FRAG_END",
              7: "FRAG_AGEOUT", 8: "FRAG_NOSTART", 9: "FRAG_ACTIVE",
              10: "SUPPL", 11: "TMSDU", 12: "TLSDU", 13: "STRANGE_PDU",
              14: "STRANGE_LCHAN", 15: "MISS", 16: "TMSDU_RUNT",
-             17: "TRAFFIC", 18: "CRC"}
+             17: "TRAFFIC", 18: "CRC", 19: "GSMTAP"}
 
 
 def _load():
@@ -107,6 +108,8 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8)]
     lib.tetra_umac_set_keys.restype = None
+    lib.tetra_umac_set_gsmtap.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.tetra_umac_set_gsmtap.restype = None
     _lib = lib
     return _lib
 
@@ -155,6 +158,12 @@ class NativeControlPlane:
         p8 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         self._lib.tetra_umac_set_keys(self._ctx, p32(nets), len(nets),
                                       p32(keys), len(keys), p8(keybytes))
+
+    def set_gsmtap(self, on: bool = True):
+        """Emit EV.GSMTAP per CRC-OK TMV dispatch (walk2 path); the
+        caller packetises via io.gsmtap (reference
+        tetra_upper_mac.c:483-488 hook)."""
+        self._lib.tetra_umac_set_gsmtap(self._ctx, 1 if on else 0)
 
     def __del__(self):  # pragma: no cover
         try:
