@@ -199,16 +199,25 @@ class TestNativeControlPlane:
         offsets = np.array([-25_000.0, 25_000.0], np.float32)
         d_py, d_nat = tmp_path / "py", tmp_path / "nat"
         d_py.mkdir(); d_nat.mkdir()
-        MultiCarrierReceiver(offsets, fs=144_000.0, dumpdir=str(d_py)
-                             ).process_bits(bits)
+        MultiCarrierReceiver(offsets, fs=144_000.0, dumpdir=str(d_py),
+                             decode_voice=True).process_bits(bits)
         MultiCarrierReceiver(offsets, fs=144_000.0, dumpdir=str(d_nat),
-                             control_plane="native").process_bits(bits)
+                             control_plane="native",
+                             decode_voice=True).process_bits(bits)
         for c in range(2):
             py_fs = sorted((d_py / f"carrier{c}").glob("traffic_*.out"))
             nat_fs = sorted((d_nat / f"carrier{c}").glob("traffic_*.out"))
             assert len(py_fs) == 1 and len(nat_fs) == 1, c
             assert py_fs[0].name == nat_fs[0].name, c
             assert py_fs[0].read_bytes() == nat_fs[0].read_bytes(), c
+            # --voice in multi-carrier mode: the TCH/S decode runs off
+            # the same routed t4 payloads, so the .cod codec-frame dumps
+            # must be byte-identical across planes too
+            py_cod = sorted((d_py / f"carrier{c}").glob("voice_*.cod"))
+            nat_cod = sorted((d_nat / f"carrier{c}").glob("voice_*.cod"))
+            assert len(py_cod) == 1 and len(nat_cod) == 1, c
+            assert py_cod[0].name == nat_cod[0].name, c
+            assert py_cod[0].read_bytes() == nat_cod[0].read_bytes(), c
 
 
 def scrambled(t3, init):

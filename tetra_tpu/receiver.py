@@ -129,7 +129,10 @@ def run_rtltcp(args):
 
     mrx = MultiCarrierReceiver(np.asarray(offsets, np.float32), fs=fs,
                                keystore_path=args.keystore,
-                               dumpdir=args.dumpdir)
+                               dumpdir=args.dumpdir,
+                               gsmtap_host=args.gsmtap,
+                               control_plane=args.control_plane,
+                               decode_voice=args.voice)
     chunk = int(fs // 2)  # ~0.5 s per device dispatch
     total = int(args.secs * fs) if args.secs else None
     stats = [rx.stats for rx in mrx.carriers]
@@ -183,13 +186,20 @@ def main(argv=None):
     p.add_argument("-d", dest="dumpdir")
     p.add_argument("-k", dest="keystore")
     p.add_argument("-g", dest="gsmtap", nargs="?", const="localhost")
+    p.add_argument("--voice", action="store_true",
+                   help="decode TCH/S traffic slots to .cod codec-frame "
+                   "files in the dump dir (needs -d)")
+    p.add_argument("--control-plane", default="python",
+                   choices=("python", "native"),
+                   help="multi-carrier control plane (--rtltcp): 'native' "
+                   "routes all carriers through the C++ executor")
     args = p.parse_args(argv)
 
     if args.rtltcp:
         return run_rtltcp(args)
 
     rx = TetraReceiver(keystore_path=args.keystore, dumpdir=args.dumpdir,
-                       gsmtap_host=args.gsmtap)
+                       gsmtap_host=args.gsmtap, decode_voice=args.voice)
     if args.audio:
         run_audio(rx, args)
     elif args.file:

@@ -41,7 +41,8 @@ class MultiCarrierReceiver:
                  dumpdir: str | None = None, log=None,
                  pfb_channels=None, n_chan: int | None = None,
                  control_plane: str = "python",
-                 gsmtap_host: str | None = None):
+                 gsmtap_host: str | None = None,
+                 decode_voice: bool = False):
         self.offsets = np.asarray(offsets_hz, dtype=np.float32)
         self.fs = float(fs)
         self.sps = sps
@@ -67,6 +68,7 @@ class MultiCarrierReceiver:
                 # the executor's events (below), not per-carrier sockets
                 gsmtap_host=(gsmtap_host if control_plane == "python"
                              else None),
+                decode_voice=decode_voice,
                 log=carrier_log))
         # control plane: "python" walks each carrier's UpperMac (full
         # logging, decryption); "native" routes all carriers' decoded
