@@ -91,6 +91,21 @@ class TestFastPathDifferential:
             assert got[c] == want, f"carrier {c}"
             assert sum(t[1] == EV.RESOURCE for t in want) >= 4
 
+    def test_budget_overflow_falls_back(self, monkeypatch):
+        """When a chunk emits more slots than the global row budget G,
+        collect must transparently re-run it with the sufficient
+        B*maxs budget — same decisions, no drops. Forced here by
+        shrinking the budget slack below the real emit rate."""
+        from tetra_tpu import fastpath
+        monkeypatch.setattr(fastpath, "G_SLACK", -2)
+        B = 4
+        streams = [make_stream(9100 + b, n_frames=3) for b in range(B)]
+        L = min(len(s) for s in streams)
+        batch = np.stack([s[:L] for s in streams])
+        cuts = [0, L // 2, L]
+        py, nat = _compare(batch, cuts)
+        assert sum(p.stats.crc_ok for p in py.carriers) > 0
+
     def test_single_vs_many_chunks_identical(self):
         """Chunking must not change native decode results."""
         B = 4

@@ -36,6 +36,19 @@ class TestPallasViterbi:
         out = np.asarray(decode_pallas(soft, 80, tile_b=4, interpret=True))
         np.testing.assert_array_equal(out, data)
 
+    def test_int8_soft_matches_scan(self):
+        """The pipeline's TPU path feeds ±127/0 int8 soft bits into the
+        packed-int32 radix-16 kernel (lmac/pipeline.py::_decode_fec);
+        decisions must match the f32 scan reference including garbage
+        ties. n_sym=288 is the SCH/F layout the FEC bench runs."""
+        rng = np.random.default_rng(7)
+        raw = (rng.integers(-1, 2, size=(24, 288 * 4)) * 127)
+        ref = np.asarray(viterbi.decode(jnp.asarray(raw.astype(np.float32)),
+                                        288))
+        out = np.asarray(decode_pallas(jnp.asarray(raw.astype(np.int8)),
+                                       288, tile_b=8, interpret=True))
+        np.testing.assert_array_equal(out, ref)
+
     def test_tch_generators(self):
         rng = np.random.default_rng(4)
         data = rng.integers(0, 2, size=(8, 72)).astype(np.int8)

@@ -10,16 +10,27 @@ rig), so the multi-carrier end-to-end rate is set by TRANSFER COUNT AND
 BYTES, not compute.  This module collapses one ingest chunk into:
 
   h2d:    ONE packed-bit buffer [B, Lc/8] (8x smaller than ubits)
-  device: ONE fused program — sync scan (phy.sync_vec) -> per-carrier
-          slot compaction (argsort) -> SB1 pre-decode -> scrambling-code
-          forward-fill (associative scan, the device twin of the host
-          fill in rx.decode_slots_multi) -> kind-compacted FEC
-          (lmac.fused) -> 8:1 bit packing -> ONE int8 result bundle.
-          The sync carry, scrambling codes and the ring tail stay
-          device-resident between chunks, so chunk k+1 can be DISPATCHED
-          before chunk k's bundle is fetched (one-deep pipelining).
-  d2h:    ONE fetch of [B, maxs*53 + 32] bytes; traffic payloads stay
-          on device and are gathered lazily per traffic slot.
+  device: ONE fused program — sync scan (phy.sync_vec) -> GLOBAL slot
+          compaction (one argsort across carriers x steps; emitted
+          slots in carrier-major order fill a fixed row budget) -> SB1
+          pre-decode -> scrambling-code forward-fill (carrier-segmented
+          associative scan, the device twin of the host fill in
+          rx.decode_slots_multi) -> kind-compacted FEC (lmac.fused) ->
+          per-kind section packing -> 8:1 bit packing -> ONE int8
+          result bundle. The sync carry, scrambling codes and the ring
+          tail stay device-resident between chunks, so chunk k+1 can be
+          DISPATCHED before chunk k's bundle is fetched (one-deep
+          pipelining).
+  d2h:    ONE fetch of [G*40 + B*32] bytes, where the global row budget
+          G ~= B * (chunk bits / 510 + slack) is much tighter than the
+          per-carrier worst case B*maxs (relock backlog drains are rare
+          and never synchronized across all carriers); per-kind section
+          packing cuts each row from 53 to 40 bytes (the canonical
+          406-bit row pads SYNC/NDB payloads to SCH/F width; packing
+          sections contiguously needs only 288 bits). If a chunk DOES
+          emit more slots than G (detected from the fetched per-carrier
+          counts), `collect` transparently re-runs it from the saved
+          inputs with the provably sufficient B*maxs budget.
   host:   numpy-vectorised record assembly (no per-slot Python), then
           ONE C++ walk (native/umac_exec.cpp::tetra_umac_walk2) that
           also owns the TDMA clock and SYNC side effects
@@ -50,10 +61,12 @@ from tetra_tpu.rx import _pack_selected, _PACK_BITS
 __all__ = ["FastChunkPipeline", "fused_chunk", "max_slots",
            "ROW_BYTES", "RING_PAD"]
 
-ROW_BYTES = 53            # 51 packed payload bytes + flags + delta
-_PAY_BYTES = 51           # ceil(406 / 8); unpacks to 408 columns
+ROW_BYTES = 40            # 36 packed section bytes + flags+delta+car16
+_SEC_BYTES = 36           # ceil(282 / 8): worst-kind section total is
+                          # SCH_F 268 + BBK 14 (vs 406 canonical)
 SIDE_I32 = 8              # n_slots tail st bs nb nfs si scramb
 RING_PAD = RING_BITS + 512   # device-resident tail: ring depth + slack
+G_SLACK = 3               # per-carrier row-budget slack over chunk/510
 
 
 def max_slots(steps: int, feed: int) -> int:
@@ -64,9 +77,9 @@ def max_slots(steps: int, feed: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("steps", "feed", "maxs", "lc_pad"))
+                   static_argnames=("steps", "feed", "g_rows", "lc_pad"))
 def fused_chunk(ring, packed, end_rel, rebase, st0, bs0, nb0, nfs0, fed_rel,
-                scr0, steps: int, feed: int, maxs: int, lc_pad: int):
+                scr0, steps: int, feed: int, g_rows: int, lc_pad: int):
     """One ingest chunk, fully fused on device.
 
     ring [B, RING_PAD] int8: last RING_PAD stream bits (device carry).
@@ -76,11 +89,15 @@ def fused_chunk(ring, packed, end_rel, rebase, st0, bs0, nb0, nfs0, fed_rel,
     from the carried rel positions (bs0, nfs0).
     st0..: sync carry (device). fed_rel: scan position rel THIS window.
     scr0 [B] uint32: per-carrier cell scrambling code carry.
+    g_rows: global row budget G — emitted slots across ALL carriers,
+    carrier-major; overflow is detected host-side from the per-carrier
+    counts and re-run with the sufficient budget (see FastChunkPipeline).
 
-    Returns (bundle [B, maxs*ROW_BYTES+32] int8, new_ring, carry...,
-    t4_full [B*maxs, 432] int8, t4_b2 [B*maxs, 216] int8).
+    Returns (bundle [G*ROW_BYTES + B*32] int8, new_ring, carry...,
+    t4_full [G, 432] int8, t4_b2 [G, 216] int8).
     """
     B = ring.shape[0]
+    G = g_rows
     shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
     chunk = ((packed[..., None] >> shifts) & 1).reshape(B, lc_pad)
     bits = jnp.concatenate([ring, chunk.astype(jnp.int8)], axis=1)
@@ -90,57 +107,71 @@ def fused_chunk(ring, packed, end_rel, rebase, st0, bs0, nb0, nfs0, fed_rel,
         bits, st0, bs0 - rebase, nb0, nfs0 - rebase, st0 * 0,
         fed_rel, steps, feed)
 
-    # ---- per-carrier slot compaction (emitted slots first, step order)
+    # ---- GLOBAL slot compaction: ONE argsort over carriers x steps.
+    # Emitted slots get unique carrier-major keys c*steps + t, holes get
+    # +inf; the first G sorted rows are exactly the emitted slots in the
+    # order the per-carrier walk consumes them (valid rows form a
+    # prefix). Row capacity is shared across carriers, so the budget
+    # tracks the MEAN emit rate (chunk bits / 510) instead of the
+    # per-carrier relock-backlog worst case.
     emitT = out["emit"].T.astype(bool)                      # [B, steps]
     burstT = out["burst"].T.astype(jnp.int32)
-    stepsr = jnp.arange(steps, dtype=jnp.int32)
-    order = jnp.argsort(jnp.where(emitT, stepsr[None, :], steps),
-                        axis=1, stable=True)[:, :maxs]      # [B, maxs]
-    valid = jnp.take_along_axis(emitT, order, axis=1)
-    kind = jnp.where(valid,
-                     jnp.take_along_axis(out["col"].T, order, axis=1), 0)
-    soff = jnp.where(valid,
-                     jnp.take_along_axis(out["slot"].T, order, axis=1), 0)
     n_slots = emitT.sum(axis=1, dtype=jnp.int32)
+    big = jnp.int32(B * steps)
+    keys = jnp.where(emitT,
+                     jax.lax.broadcasted_iota(jnp.int32, (B, steps), 0)
+                     * steps
+                     + jax.lax.broadcasted_iota(jnp.int32, (B, steps), 1),
+                     big).reshape(B * steps)
+    gorder = jnp.argsort(keys)[:G]                          # [G]
+    gvalid = jnp.take(keys, gorder) < big
+    gcar = jnp.where(gvalid, gorder // steps, 0)
+    kind = jnp.where(gvalid, jnp.take(out["col"].T.reshape(-1), gorder), 0)
+    soff = jnp.where(gvalid, jnp.take(out["slot"].T.reshape(-1), gorder), 0)
 
     # TDMA burst deltas: bursts (incl. own) since the previous emitted
-    # slot; tail = bursts after the last one (tetra_burst_sync.c:113)
+    # slot; tail = bursts after the last one (tetra_burst_sync.c:113).
+    # bc is nondecreasing, so "bc at the previous emitted step" is the
+    # exclusive running max of the emit-masked cumsum.
     bc = jnp.cumsum(burstT, axis=1)
-    bc_at = jnp.take_along_axis(bc, order, axis=1)
+    prev = lax.associative_scan(jnp.maximum,
+                                jnp.where(emitT, bc, 0), axis=1)
     prev = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32), bc_at[:, :-1]], axis=1)
-    delta = jnp.where(valid, bc_at - prev, 0)
-    tail = bc[:, -1] - delta.sum(axis=1)
+        [jnp.zeros((B, 1), jnp.int32), prev[:, :-1]], axis=1)
+    delta_step = jnp.where(emitT, bc - prev, 0)             # [B, steps]
+    tail = bc[:, -1] - delta_step.sum(axis=1)
+    delta = jnp.take(delta_step.reshape(-1), gorder)
 
-    # ---- slot bit gather [B, maxs, 510], word-granular.
-    # A bit-granular take_along_axis of maxs*510 elements costs ~100 ms
-    # on this part (XLA TPU gathers run ~90 M elem/s); packing the
-    # window into uint32 words first cuts the gather 30x, and the
-    # arbitrary bit offset becomes an elementwise funnel shift.
+    # ---- slot bit gather [G, 510], word-granular.
+    # A bit-granular gather of G*510 elements costs ~100 ms on this
+    # part (XLA TPU gathers run ~90 M elem/s); packing the window into
+    # uint32 words first cuts the gather 30x, and the arbitrary bit
+    # offset becomes an elementwise funnel shift.
     w32 = jnp.left_shift(jnp.uint32(1),
                          jnp.arange(31, -1, -1, dtype=jnp.uint32))
     words = (bits.reshape(B, L // 32, 32).astype(jnp.uint32)
-             * w32).sum(-1, dtype=jnp.uint32)               # [B, L/32]
+             * w32).sum(-1, dtype=jnp.uint32).reshape(-1)   # [B * L/32]
     nw = C.BITS_PER_TS // 32 + 2                            # 17 words
     wstart = soff >> 5
-    sh = (soff & 31).astype(jnp.uint32)[:, :, None]
-    widx = jnp.clip(wstart[:, :, None]
-                    + jnp.arange(nw, dtype=jnp.int32), 0, L // 32 - 1)
-    got = jnp.take_along_axis(words, widx.reshape(B, maxs * nw),
-                              axis=1).reshape(B, maxs, nw)
+    sh = (soff & 31).astype(jnp.uint32)[:, None]
+    widx = (jnp.clip(wstart[:, None]
+                     + jnp.arange(nw, dtype=jnp.int32), 0, L // 32 - 1)
+            + gcar[:, None] * (L // 32))
+    got = jnp.take(words, widx.reshape(-1)).reshape(G, nw)
     lo = jnp.where(sh == 0, jnp.uint32(0),
                    got[..., 1:] >> (jnp.uint32(32) - sh))
-    out_words = (got[..., :nw - 1] << sh) | lo              # [B, maxs, 16+]
+    out_words = (got[..., :nw - 1] << sh) | lo              # [G, 16+]
     shifts32 = jnp.arange(31, -1, -1, dtype=jnp.uint32)
     flat = ((out_words[..., None] >> shifts32) & 1).reshape(
-        B, maxs, (nw - 1) * 32)[..., :C.BITS_PER_TS].astype(
-        jnp.int8).reshape(B * maxs, C.BITS_PER_TS)
+        G, (nw - 1) * 32)[..., :C.BITS_PER_TS].astype(jnp.int8)
 
     # ---- SB1 pre-decode + scrambling-code forward fill (device twin of
-    # rx.decode_slots_multi's host fill; tetra_lower_mac.c:283-310)
+    # rx.decode_slots_multi's host fill; tetra_lower_mac.c:283-310).
+    # Rows are carrier-major, so the fill is a SEGMENTED inclusive scan
+    # over the G axis with the carrier id as segment key.
     sb1_t5 = flat[:, C.SB_BLK1_OFFSET: C.SB_BLK1_OFFSET + C.SB_BLK1_BITS]
     r1 = pipeline.decode_block("SB1", sb1_t5, jnp.uint32(0))
-    t1 = r1.type1.reshape(B, maxs, 60)
+    t1 = r1.type1
 
     def field(a, b):
         w = jnp.left_shift(jnp.uint32(1),
@@ -150,49 +181,64 @@ def fused_chunk(ring, packed, end_rel, rebase, st0, bs0, nb0, nfs0, fed_rel,
     newinit = ((((field(31, 41) & 0x3FF) << 20)
                 | ((field(41, 55) & 0x3FFF) << 6)
                 | (field(4, 10) & 0x3F)) << 2) | C.SCRAMB_INIT
-    have = valid & (kind == 0) & r1.crc_ok.reshape(B, maxs)
+    have = gvalid & (kind == 0) & r1.crc_ok
 
     def ff(a, b):
-        av, ah = a
-        bv, bh = b
-        return jnp.where(bh, bv, av), ah | bh
+        av, ah, ac = a
+        bv, bh, bc_ = b
+        same = ac == bc_
+        return (jnp.where(bh, bv, jnp.where(same, av, bv)),
+                bh | (same & ah), bc_)
 
-    fv, fh = lax.associative_scan(
-        ff, (jnp.where(have, newinit, 0), have), axis=1)
-    inits = jnp.where(fh, fv, scr0[:, None].astype(jnp.uint32))
-    scr_final = inits[:, -1]
+    segcar = jnp.where(gvalid, gcar, -1)   # invalid rows: own segment
+    fv, fh, _ = lax.associative_scan(
+        ff, (jnp.where(have, newinit, 0), have, segcar), axis=0)
+    inits = jnp.where(fh, fv, jnp.take(scr0, gcar).astype(jnp.uint32))
+    # per-carrier final code: the fill value at each carrier's last row
+    # (scatter; carriers with no rows this chunk keep their carry)
+    segend = gvalid & jnp.concatenate(
+        [segcar[1:] != segcar[:-1], jnp.ones(1, bool)])
+    scr_final = scr0.at[jnp.where(segend, gcar, B)].set(
+        inits, mode="drop")
 
-    # ---- kind-compacted FEC decode + packing
-    kflat = kind.reshape(B * maxs)
-    res = decode_slots_fused(flat, inits.reshape(B * maxs), kflat)
-    pk = _pack_selected(res, kflat)                    # [N, 408] int8
+    # ---- kind-compacted FEC decode + per-kind section packing
+    res = decode_slots_fused(flat, inits, kind)
+    pk = _pack_selected(res, kind)                     # [G, 408] int8
 
     _, b1, b2 = split_norm_burst(flat)
-    ii = inits.reshape(B * maxs)
-    t4_full = scramble.scramb_bits(ii, jnp.concatenate([b1, b2], axis=-1))
-    t4_b2 = scramble.scramb_bits(ii, b2)
+    t4_full = scramble.scramb_bits(inits, jnp.concatenate([b1, b2], axis=-1))
+    t4_b2 = scramble.scramb_bits(inits, b2)
 
-    pay = jnp.pad(pk[:, :_PACK_BITS],
-                  ((0, 0), (0, _PAY_BYTES * 8 - _PACK_BITS)))
+    # canonical row (A 268 | B 124 | BBK 14) pads SYNC/NDB payloads to
+    # SCH/F width; laying the LIVE sections contiguously per kind needs
+    # only 282 bits — every fetched byte costs d2h bandwidth on the
+    # tunnel, and `collect` re-expands to the canonical layout in numpy
+    A, Bs, K = pk[:, :268], pk[:, 268:392], pk[:, 392:406]
+    z = lambda n: jnp.zeros((G, n), pk.dtype)
+    lay0 = jnp.concatenate([A[:, :60], Bs, K, z(90)], axis=1)   # SYNC 198
+    lay1 = jnp.concatenate([A, K, z(6)], axis=1)                # SCHF 282
+    lay2 = jnp.concatenate([A[:, :124], Bs, K, z(26)], axis=1)  # NDB 262
+    kk = kind[:, None]
+    pay = jnp.where(kk == 0, lay0, jnp.where(kk == 1, lay1, lay2))
     w8 = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
-    pay_b = (pay.reshape(-1, _PAY_BYTES, 8).astype(jnp.int32) * w8).sum(-1)
-    # one flag byte: kind(2) | okA<<2 | okB<<3 | valid<<4 — every
-    # fetched byte costs d2h bandwidth on the tunnel
-    flags = (kflat.astype(jnp.int32)
+    pay_b = (pay.reshape(-1, _SEC_BYTES, 8).astype(jnp.int32) * w8).sum(-1)
+    # one flag byte: kind(2) | okA<<2 | okB<<3 | valid<<4
+    flags = (kind.astype(jnp.int32)
              | (pk[:, _PACK_BITS].astype(jnp.int32) << 2)
              | (pk[:, _PACK_BITS + 1].astype(jnp.int32) << 3)
-             | (valid.reshape(-1).astype(jnp.int32) << 4))
+             | (gvalid.astype(jnp.int32) << 4))
     row = jnp.concatenate([
         pay_b.astype(jnp.uint8),
         flags.astype(jnp.uint8)[:, None],
-        jnp.clip(delta.reshape(-1, 1), 0, 255).astype(jnp.uint8)], axis=1)
+        jnp.clip(delta[:, None], 0, 255).astype(jnp.uint8),
+        (gcar & 255).astype(jnp.uint8)[:, None],
+        (gcar >> 8).astype(jnp.uint8)[:, None]], axis=1)    # [G, 40]
     side = jnp.stack([n_slots, tail, st, bs, nb, nfs, si,
                       lax.bitcast_convert_type(scr_final, jnp.int32)],
                      axis=1)
     bundle = jnp.concatenate([
-        lax.bitcast_convert_type(row, jnp.int8).reshape(B, maxs * ROW_BYTES),
-        lax.bitcast_convert_type(side, jnp.int8).reshape(B, 4 * SIDE_I32)],
-        axis=1)
+        lax.bitcast_convert_type(row, jnp.int8).reshape(G * ROW_BYTES),
+        lax.bitcast_convert_type(side, jnp.int8).reshape(B * 4 * SIDE_I32)])
 
     new_ring = lax.dynamic_slice(
         bits, (0, end_rel - RING_PAD), (B, RING_PAD))
@@ -201,11 +247,19 @@ def fused_chunk(ring, packed, end_rel, rebase, st0, bs0, nb0, nfs0, fed_rel,
 
 @dataclass
 class ChunkHandle:
-    """A dispatched-but-not-fetched chunk."""
-    bundle: object        # device [B, maxs*ROW_BYTES + 32] int8
-    t4_full: object       # device [B*maxs, 432] int8
-    t4_b2: object         # device [B*maxs, 216] int8
-    maxs: int
+    """A dispatched-but-not-fetched chunk.
+
+    Holds references to the dispatch inputs so a budget overflow can
+    re-run the chunk with the sufficient B*maxs row budget (device
+    arrays stay alive either way; no copies are made).
+    """
+    bundle: object        # device [G*ROW_BYTES + B*32] int8
+    t4_full: object       # device [G, 432] int8
+    t4_b2: object         # device [G, 216] int8
+    g_rows: int
+    inputs: tuple | None = None   # (ring, packed, end_rel, rebase,
+                                  #  carry..., fed_rel, steps, lc_pad)
+    maxs: int = 0                 # sufficient per-carrier budget
 
 
 class FastChunkPipeline:
@@ -249,50 +303,85 @@ class FastChunkPipeline:
             self.end = end_abs
             return None
         maxs = max_slots(steps, self.feed)
+        # global row budget: mean emit rate + slack, never above the
+        # per-carrier worst case (see fused_chunk docstring)
+        G = B * min(maxs, steps * self.feed // C.BITS_PER_TS + G_SLACK)
         st, bs, nb, nfs, scr = self.carry
         rebase = np.int32(new_base - self.carry_base)
         end_rel = np.int32(end_abs - new_base)
+        ring0 = self.ring
+        packed_d = jnp.asarray(packed)
+        fed_rel = np.int32(self.fed - new_base)
         bundle, ring, carry, t4f, t4b = fused_chunk(
-            self.ring, jnp.asarray(packed), end_rel, rebase,
-            st, bs, nb, nfs, np.int32(self.fed - new_base), scr,
-            steps, self.feed, maxs, lc_pad)
+            ring0, packed_d, end_rel, rebase,
+            st, bs, nb, nfs, fed_rel, scr,
+            steps, self.feed, G, lc_pad)
+        inputs = ((ring0, packed_d, end_rel, rebase, st, bs, nb, nfs,
+                   fed_rel, scr, steps, lc_pad)
+                  if G < B * maxs else None)
         self.ring = ring
         self.carry = carry
         self.carry_base = new_base
         self.end = end_abs
         self.fed += steps * self.feed
-        return ChunkHandle(bundle, t4f, t4b, maxs)
+        return ChunkHandle(bundle, t4f, t4b, G, inputs, maxs)
 
     def collect(self, h: ChunkHandle) -> dict:
         """Fetch one chunk's bundle and decode it to numpy arrays:
         {carrier, kind, okA, okB, delta, payload [n, 408], slot_ref,
          n_slots [B], tail [B], scramb [B]}."""
-        maxs = h.maxs
+        G = h.g_rows
         arr = np.asarray(h.bundle)
-        B = arr.shape[0]
-        rows = np.ascontiguousarray(
-            arr[:, :maxs * ROW_BYTES]).view(np.uint8).reshape(
-            B, maxs, ROW_BYTES)
-        side = np.ascontiguousarray(
-            arr[:, maxs * ROW_BYTES:]).view(np.int32)
+        rows = arr[:G * ROW_BYTES].view(np.uint8).reshape(G, ROW_BYTES)
+        side = arr[G * ROW_BYTES:].view(np.int32).reshape(-1, SIDE_I32)
         n_slots = side[:, 0]
-        if (n_slots > maxs).any():
-            raise RuntimeError("slot compaction overflow (bound bug)")
-        flags = rows[:, :, _PAY_BYTES]
-        vm = (flags & 16).astype(bool)
-        cars, js = np.nonzero(vm)
-        sel = rows[cars, js]
-        payload = np.unpackbits(
-            np.ascontiguousarray(sel[:, :_PAY_BYTES]), axis=1)
-        f = sel[:, _PAY_BYTES].astype(np.int32)
+        total = int(n_slots.sum())
+        if total > G:
+            # budget overflow (synchronized relock backlog): re-run the
+            # chunk from its saved inputs with the sufficient budget.
+            # Carries are budget-independent, so downstream state is
+            # untouched; only the wider bundle is used.
+            if h.inputs is None:
+                raise RuntimeError("slot compaction overflow (bound bug)")
+            (ring0, packed_d, end_rel, rebase, st, bs, nb, nfs,
+             fed_rel, scr, steps, lc_pad) = h.inputs
+            G2 = side.shape[0] * h.maxs
+            bundle, _, _, t4f, t4b = fused_chunk(
+                ring0, packed_d, end_rel, rebase, st, bs, nb, nfs,
+                fed_rel, scr, steps, self.feed, G2, lc_pad)
+            return self.collect(ChunkHandle(bundle, t4f, t4b, G2,
+                                            None, h.maxs))
+        sel = rows[:total]
+        f = sel[:, _SEC_BYTES].astype(np.int32)
+        assert (f & 16).all(), "valid rows must form a prefix"
+        cars = (sel[:, _SEC_BYTES + 2].astype(np.int32)
+                | (sel[:, _SEC_BYTES + 3].astype(np.int32) << 8))
+        # re-expand the per-kind packed sections to the canonical
+        # [n, 408] row (A 268 | B 124 | BBK 14 | okA | okB) the native
+        # walk and the GSMTAP exporter address into
+        sec = np.unpackbits(np.ascontiguousarray(sel[:, :_SEC_BYTES]),
+                            axis=1)
+        k = f & 3
+        payload = np.zeros((total, 408), np.uint8)
+        m = k == 0
+        payload[m, 0:60] = sec[m, 0:60]
+        payload[m, 268:392] = sec[m, 60:184]
+        payload[m, 392:406] = sec[m, 184:198]
+        m = k == 1
+        payload[m, 0:268] = sec[m, 0:268]
+        payload[m, 392:406] = sec[m, 268:282]
+        m = k == 2
+        payload[m, 0:124] = sec[m, 0:124]
+        payload[m, 268:392] = sec[m, 124:248]
+        payload[m, 392:406] = sec[m, 248:262]
         return {
-            "carrier": cars.astype(np.int32),
+            "carrier": cars,
             "okA": (f >> 2) & 1,
             "okB": (f >> 3) & 1,
-            "kind": f & 3,
-            "delta": sel[:, _PAY_BYTES + 1].astype(np.int32),
+            "kind": k,
+            "delta": sel[:, _SEC_BYTES + 1].astype(np.int32),
             "payload": payload,
-            "slot_ref": (cars * maxs + js).astype(np.int32),
+            "slot_ref": np.arange(total, dtype=np.int32),
             "n_slots": n_slots, "tail": side[:, 1],
             "scramb": side[:, 7].view(np.uint32),
         }

@@ -65,6 +65,11 @@ def _decode_fec(kind: str, type5, scramb_init) -> BlockResult:
     sgn = (1 - 2 * type4.astype(jnp.int8)).astype(dt)
     mother = jnp.dot(sgn, jnp.asarray(_fec_matrix(kind), dt),
                      preferred_element_type=jnp.float32)
+    if dt == jnp.bfloat16:
+        # ±127/0 exactly representable: int8 soft feeds the Viterbi
+        # kernel's s8 ACS matmul + packed-int32 tie-break fast path
+        # (ops/viterbi_pallas.py), 2x the bf16 MXU issue rate
+        mother = mother.astype(jnp.int8)
     type2 = viterbi.decode_cch(mother, n2)
     ok = crc.crc16_check(type2[..., : n1 + 16])
     return BlockResult(type2[..., :n1], ok, type2)

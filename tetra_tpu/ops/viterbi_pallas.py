@@ -705,7 +705,7 @@ def decode_segmented_pallas(soft, rmask, n_sym: int, boundaries: tuple,
 
 @functools.partial(jax.jit, static_argnames=("n_sym", "generators", "tile_b", "interpret"))
 def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
-                  tile_b: int = 1024, interpret: bool = False):
+                  tile_b: int | None = None, interpret: bool = False):
     """Decode soft mother bits [B, >= n_sym*N] -> hard bits [B, n_sym].
 
     Drop-in replacement for viterbi.decode on 2-D batches. Bit-exact
@@ -713,6 +713,11 @@ def decode_pallas(soft, n_sym: int, generators=CONV_GENERATORS_CCH,
     (±127/0); on arbitrary float inputs near-ties may resolve
     differently (summation order).
     """
+    if tile_b is None:
+        # int8 soft halves the kernel's VMEM footprint: a 2048-lane
+        # tile fits and amortises per-tile fixed cost (lmac.fused picks
+        # the same split for the kind-compacted path)
+        tile_b = 2048 if soft.dtype == jnp.int8 else 1024
     if n_sym % 2 == 0:  # radix-4 path: half the serial iterations
         return decode_segmented_pallas(
             soft, jnp.zeros((soft.shape[0], 0), jnp.float32), n_sym, (),
