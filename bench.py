@@ -387,7 +387,11 @@ def main():
         if sys_tools not in _sys.path:
             _sys.path.insert(0, sys_tools)
         import bench_mc_e2e
-        mc = bench_mc_e2e.run(n_car=1024, n_frames=8, n_chunks=4)
+        # 16 frames / 4 chunks = 0.235 s of signal per dispatch — still
+        # half the live CLI's 0.5 s chunking (receiver.py run_rtltcp),
+        # and large enough that the tunnel's fixed ~21 ms per-RPC cost
+        # stops dominating the per-chunk budget
+        mc = bench_mc_e2e.run(n_car=1024, n_frames=16, n_chunks=4)
         result["mc_e2e_realtime_carriers"] = mc["realtime_carriers_e2e"]
         result["mc_e2e_mbits_per_s"] = mc["mbits_per_s"]
         result["mc_e2e_crc_ok"] = mc["crc_ok"]
