@@ -95,6 +95,21 @@ class TestCRC16:
         val = int(np.asarray(crc.crc16_value(jnp.asarray(x))))
         assert val == e["crc"]
 
+    def test_gf2_paths_identical(self):
+        """The TPU s8 contraction and the CPU f32 contraction of
+        gf2_matmul must agree bit-for-bit on every block length the
+        pipeline uses (the TPU path is int-exact: sums <= L < 2^31)."""
+        from tetra_tpu.utils.bits import gf2_matmul_int, gf2_matmul_f32
+        rng = np.random.default_rng(5)
+        for L in (60, 284, 288, 510):
+            M, _ = crc.crc16_matrix(min(L, 288))
+            Mx = np.zeros((L, 16), np.uint8)
+            Mx[: M.shape[0]] = M
+            x = jnp.asarray(rng.integers(0, 2, size=(33, L)).astype(np.int8))
+            np.testing.assert_array_equal(
+                np.asarray(gf2_matmul_int(x, jnp.asarray(Mx))),
+                np.asarray(gf2_matmul_f32(x, jnp.asarray(Mx))))
+
     def test_check_constant(self):
         # encode-style: appended complemented+byteswapped CRC verifies to 0x1D0F
         rng = np.random.default_rng(2)

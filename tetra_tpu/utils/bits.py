@@ -44,12 +44,31 @@ def unpack_bits(data: bytes, nbits: int | None = None) -> np.ndarray:
     return arr[:nbits] if nbits is not None else arr
 
 
-def gf2_matmul(bits, matrix):
-    """GF(2) matrix product of ubits [..., L] with matrix [L, M] -> [..., M].
+def gf2_matmul_int(bits, matrix):
+    """GF(2) product as an s8 x s8 -> s32 contraction: 2x the MXU issue
+    rate of bf16, and no [..., L] float32 HBM materialisation of the
+    bit operand. Integer sums <= L < 2^31 are exact; mod-2 is one
+    bitwise and."""
+    prod = jnp.dot(bits.astype(jnp.int8), matrix.astype(jnp.int8),
+                   preferred_element_type=jnp.int32)
+    return (prod & 1).astype(jnp.int8)
 
-    Uses a float32 contraction so XLA can map it to the MXU; the sums are
-    exact because L < 2^24.
-    """
+
+def gf2_matmul_f32(bits, matrix):
+    """GF(2) product as a float32 contraction (exact: L < 2^24)."""
     prod = jnp.dot(bits.astype(jnp.float32), matrix.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
     return jnp.mod(prod, 2.0).astype(jnp.int8)
+
+
+def gf2_matmul(bits, matrix):
+    """GF(2) matrix product of ubits [..., L] with matrix [L, M] -> [..., M].
+
+    Integer path on TPU, float path elsewhere (CPU XLA lowers s8 dots
+    to slow generic loops); both are exact and bit-identical
+    (tests/test_ops_golden.py pins them against each other).
+    """
+    import jax
+    if jax.default_backend() in ("tpu", "axon"):
+        return gf2_matmul_int(bits, matrix)
+    return gf2_matmul_f32(bits, matrix)
