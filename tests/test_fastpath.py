@@ -106,6 +106,153 @@ class TestFastPathDifferential:
         py, nat = _compare(batch, cuts)
         assert sum(p.stats.crc_ok for p in py.carriers) > 0
 
+    def test_budget_overflow_with_traffic(self, monkeypatch, tmp_path):
+        """An overflowed chunk containing traffic slots must dump the
+        SAME payload bytes as the Python plane: after the re-run the
+        returned slot_refs must index the re-run's wider t4 arrays
+        (regression: collect used to discard them, so _collect_walk
+        gathered traffic payloads from the truncated originals with
+        silently clamped indices)."""
+        import jax.numpy as jnp
+        from tetra_tpu import fastpath, tx, testpdu
+        from tetra_tpu.ops.scramble import scramb_get_init
+        from tetra_tpu.phy.burst import build_norm_c_d_burst
+        monkeypatch.setattr(fastpath, "G_SLACK", -4)
+        reran = []
+        orig = fastpath.FastChunkPipeline._overflow_rerun
+        monkeypatch.setattr(
+            fastpath.FastChunkPipeline, "_overflow_rerun",
+            lambda self, h: (reran.append(1), orig(self, h))[1])
+
+        init = scramb_get_init(262, 42, 1)
+        sync = testpdu.make_sync_pdu(cc=1, mcc=262, mnc=42)
+        sysinfo = testpdu.make_sysinfo_pdu()
+        aach = testpdu.make_access_assign_bits()
+        aach_t = testpdu.make_access_assign_bits(hdr=3, f1=5, f2=0)
+        bb_t5 = np.asarray(tx.encode_bbk(jnp.asarray(aach_t),
+                                         jnp.uint32(init)))
+        sync_b = np.asarray(tx.make_sync_burst(
+            sync, sysinfo, aach, jnp.uint32(init)), np.uint8)
+
+        def schf(ssi):
+            sdu = testpdu.make_bl_udata(testpdu.make_mle_cmce_dsetup())
+            pdu = testpdu.make_resource_pdu(ssi=ssi, sdu_bits=sdu)
+            return np.asarray(tx.make_schf_burst(pdu, aach,
+                                                 jnp.uint32(init)),
+                              np.uint8)
+
+        from tetra_tpu.ops.scramble import scramb_bits
+
+        def traffic(rng):
+            t5 = np.asarray(scramb_bits(
+                jnp.uint32(init),
+                jnp.asarray(rng.integers(0, 2, 432).astype(np.int8))))
+            return np.asarray(build_norm_c_d_burst(
+                t5[:216], bb_t5, t5[216:], False), np.uint8)
+
+        # carriers 0..2 lock immediately and eat the shared global
+        # budget; carrier 3's SYNC + traffic slot emit at the very end
+        # of chunk 1, so its rows sit LAST in the carrier-major
+        # compaction — beyond the truncated budget and therefore
+        # beyond the original t4 arrays' G rows.
+        cut1 = 12 * 510
+        B = 4
+        streams = []
+        for b in range(3):
+            rng = np.random.default_rng(4200 + b)
+            parts = [np.zeros(127, np.uint8), sync_b, sync_b,
+                     traffic(rng)]
+            parts += [schf(0x100 * b + k) for k in range(14)]
+            parts.append(np.zeros(640, np.uint8))
+            streams.append(np.concatenate(parts))
+        rng = np.random.default_rng(4203)
+        prefix = cut1 - 3 * 510 - 700   # SYNCx2+traffic end 700 b early
+        parts = [rng.integers(0, 2, prefix).astype(np.uint8),
+                 sync_b, sync_b, traffic(rng)]
+        parts += [schf(0x900 + k) for k in range(8)]
+        parts.append(np.zeros(640, np.uint8))
+        streams.append(np.concatenate(parts))
+        L = min(len(s) for s in streams)
+        batch = np.stack([s[:L] for s in streams])
+        offs = np.zeros(B, np.float32)
+        d_py, d_nat = tmp_path / "py", tmp_path / "nat"
+        d_py.mkdir(); d_nat.mkdir()
+        py = MultiCarrierReceiver(offs, fs=25e3 * B, dumpdir=str(d_py))
+        nat = MultiCarrierReceiver(offs, fs=25e3 * B, dumpdir=str(d_nat),
+                                   control_plane="native")
+        cuts = [0, cut1, L]
+        _feed(py, batch, cuts, final_each=True)
+        _feed(nat, batch, cuts, final_each=False)
+        assert reran, "stream no longer forces a budget overflow"
+        for c in range(B):
+            py_fs = sorted((d_py / f"carrier{c}").glob("traffic_*.out"))
+            nat_fs = sorted((d_nat / f"carrier{c}").glob("traffic_*.out"))
+            assert [f.name for f in py_fs] == [f.name for f in nat_fs], c
+            assert py_fs, f"carrier {c}: no traffic dumps"
+            for a, b in zip(py_fs, nat_fs):
+                assert a.read_bytes() == b.read_bytes(), (c, a.name)
+
+    def test_overflow_truncated_sync_corrects_carry(self, monkeypatch):
+        """A scrambling-code-bearing SYNC row that lands BEYOND the
+        global row budget must still update the carry consumed by an
+        already-dispatched later chunk: collect's overflow re-run
+        re-commits the corrected carry through that chunk (regression:
+        the re-run's carry was discarded, so the dependent carrier
+        descrambled the next chunk with a stale code and lost every
+        slot to CRC failures)."""
+        import jax.numpy as jnp
+        from tetra_tpu import fastpath, tx, testpdu
+        from tetra_tpu.ops.scramble import scramb_get_init
+        monkeypatch.setattr(fastpath, "G_SLACK", -4)
+        redispatched = []
+        orig = fastpath.FastChunkPipeline._dispatch
+        def spy(self, h, g_rows, scr_override=None):
+            if scr_override is not None:
+                redispatched.append(1)
+            return orig(self, h, g_rows, scr_override)
+        monkeypatch.setattr(fastpath.FastChunkPipeline, "_dispatch", spy)
+
+        init = scramb_get_init(262, 42, 1)
+        sync = testpdu.make_sync_pdu(cc=1, mcc=262, mnc=42)
+        sysinfo = testpdu.make_sysinfo_pdu()
+        aach = testpdu.make_access_assign_bits()
+        sync_b = np.asarray(tx.make_sync_burst(
+            sync, sysinfo, aach, jnp.uint32(init)), np.uint8)
+
+        def schf(ssi):
+            sdu = testpdu.make_bl_udata(testpdu.make_mle_cmce_dsetup())
+            pdu = testpdu.make_resource_pdu(ssi=ssi, sdu_bits=sdu)
+            return np.asarray(tx.make_schf_burst(pdu, aach,
+                                                 jnp.uint32(init)),
+                              np.uint8)
+
+        # carriers 0..2 lock immediately and eat the shared global
+        # budget; carrier 3's SYNC arrives at the very end of chunk 1,
+        # so its rows sit LAST in the carrier-major compaction — beyond
+        # the truncated budget. Chunk 2 is pure SCH/F for carrier 3,
+        # decodable only with the cell code that SYNC carries.
+        cut1 = 11 * 510          # chunk-1 length in bits
+        B = 4
+        n_schf = 16
+        streams = []
+        for b in range(3):
+            parts = [np.zeros(127, np.uint8), sync_b, sync_b]
+            parts += [schf(0x100 * b + k) for k in range(n_schf)]
+            parts.append(np.zeros(640, np.uint8))
+            streams.append(np.concatenate(parts))
+        prefix = cut1 - 2 * 510 - 700    # SYNCs end 700 bits before cut
+        parts = [np.random.default_rng(7).integers(0, 2, prefix)
+                 .astype(np.uint8), sync_b, sync_b]
+        parts += [schf(0x900 + k) for k in range(8)]
+        parts.append(np.zeros(640, np.uint8))
+        streams.append(np.concatenate(parts))
+        L = min(len(s) for s in streams)
+        batch = np.stack([s[:L] for s in streams])
+        py, nat = _compare(batch, [0, cut1, L])
+        assert redispatched, \
+            "overflow no longer truncates a SYNC ahead of a dispatched chunk"
+        assert py.carriers[3].stats.crc_ok >= 6
+
     def test_single_vs_many_chunks_identical(self):
         """Chunking must not change native decode results."""
         B = 4

@@ -245,13 +245,16 @@ def fused_chunk(ring, packed, end_rel, rebase, st0, bs0, nb0, nfs0, fed_rel,
     return bundle, new_ring, (st, bs, nb, nfs, scr_final), t4_full, t4_b2
 
 
-@dataclass
+@dataclass(eq=False)
 class ChunkHandle:
     """A dispatched-but-not-fetched chunk.
 
     Holds references to the dispatch inputs so a budget overflow can
     re-run the chunk with the sufficient B*maxs row budget (device
-    arrays stay alive either way; no copies are made).
+    arrays stay alive either way; no copies are made). On such a
+    re-run the handle is mutated IN PLACE so callers that gather from
+    t4_full/t4_b2 by the returned slot_refs see the arrays those refs
+    actually index.
     """
     bundle: object        # device [G*ROW_BYTES + B*32] int8
     t4_full: object       # device [G, 432] int8
@@ -279,6 +282,7 @@ class FastChunkPipeline:
         self.carry_base = -RING_PAD  # window base the carry is rel to
         self.end = 0                 # abs position of the stream end
         self.fed = 0                 # abs scan position (host-tracked)
+        self._outstanding: list[ChunkHandle] = []  # dispatch order
 
     def submit(self, bits: np.ndarray) -> ChunkHandle | None:
         """Dispatch one chunk of per-carrier hard bits [B, Lc]."""
@@ -316,15 +320,20 @@ class FastChunkPipeline:
             ring0, packed_d, end_rel, rebase,
             st, bs, nb, nfs, fed_rel, scr,
             steps, self.feed, G, lc_pad)
-        inputs = ((ring0, packed_d, end_rel, rebase, st, bs, nb, nfs,
-                   fed_rel, scr, steps, lc_pad)
-                  if G < B * maxs else None)
+        # inputs are ALWAYS saved: a budget overflow in an EARLIER
+        # chunk corrects the scrambling-code carry, which must then be
+        # re-committed through this chunk if it was dispatched with
+        # the stale value (see _overflow_rerun)
+        inputs = (ring0, packed_d, end_rel, rebase, st, bs, nb, nfs,
+                  fed_rel, scr, steps, lc_pad)
         self.ring = ring
         self.carry = carry
         self.carry_base = new_base
         self.end = end_abs
         self.fed += steps * self.feed
-        return ChunkHandle(bundle, t4f, t4b, G, inputs, maxs)
+        h = ChunkHandle(bundle, t4f, t4b, G, inputs, maxs)
+        self._outstanding.append(h)
+        return h
 
     def collect(self, h: ChunkHandle) -> dict:
         """Fetch one chunk's bundle and decode it to numpy arrays:
@@ -338,19 +347,20 @@ class FastChunkPipeline:
         total = int(n_slots.sum())
         if total > G:
             # budget overflow (synchronized relock backlog): re-run the
-            # chunk from its saved inputs with the sufficient budget.
-            # Carries are budget-independent, so downstream state is
-            # untouched; only the wider bundle is used.
-            if h.inputs is None:
+            # chunk from its saved inputs with the sufficient B*maxs
+            # budget, mutating the handle in place so slot_refs keep
+            # indexing the arrays the caller gathers from.  The sync
+            # carry and ring are budget-independent (sync_scan /
+            # dynamic_slice never see G), but the scrambling-code
+            # carry IS filled from the first G compacted rows only, so
+            # its corrected value must be re-committed through every
+            # chunk already dispatched with the stale carry.
+            if h.inputs is None or G >= side.shape[0] * h.maxs:
                 raise RuntimeError("slot compaction overflow (bound bug)")
-            (ring0, packed_d, end_rel, rebase, st, bs, nb, nfs,
-             fed_rel, scr, steps, lc_pad) = h.inputs
-            G2 = side.shape[0] * h.maxs
-            bundle, _, _, t4f, t4b = fused_chunk(
-                ring0, packed_d, end_rel, rebase, st, bs, nb, nfs,
-                fed_rel, scr, steps, self.feed, G2, lc_pad)
-            return self.collect(ChunkHandle(bundle, t4f, t4b, G2,
-                                            None, h.maxs))
+            self._overflow_rerun(h)
+            return self.collect(h)
+        if h in self._outstanding:
+            self._outstanding.remove(h)
         sel = rows[:total]
         f = sel[:, _SEC_BYTES].astype(np.int32)
         assert (f & 16).all(), "valid rows must form a prefix"
@@ -385,6 +395,35 @@ class FastChunkPipeline:
             "n_slots": n_slots, "tail": side[:, 1],
             "scramb": side[:, 7].view(np.uint32),
         }
+
+    def _dispatch(self, h: ChunkHandle, g_rows: int,
+                  scr_override=None) -> tuple:
+        """(Re-)run a chunk from its saved inputs with row budget
+        g_rows, mutating the handle in place; returns the carry."""
+        if scr_override is not None:
+            h.inputs = h.inputs[:9] + (scr_override,) + h.inputs[10:]
+        (ring0, packed_d, end_rel, rebase, st, bs, nb, nfs,
+         fed_rel, scr, steps, lc_pad) = h.inputs
+        bundle, _, carry, t4f, t4b = fused_chunk(
+            ring0, packed_d, end_rel, rebase, st, bs, nb, nfs,
+            fed_rel, scr, steps, self.feed, g_rows, lc_pad)
+        h.bundle, h.t4_full, h.t4_b2, h.g_rows = bundle, t4f, t4b, g_rows
+        return carry
+
+    def _overflow_rerun(self, h: ChunkHandle) -> None:
+        """Re-run an overflowed chunk with the provably sufficient
+        budget, then propagate the corrected scrambling-code carry
+        through every chunk dispatched after it (one-deep pipelining
+        means at most one in practice) and into the pipeline head, so
+        no carrier descrambles later chunks with a stale cell code."""
+        scr = self._dispatch(h, self.n * h.maxs)[4]
+        later = self._outstanding[self._outstanding.index(h) + 1:]
+        for h2 in later:
+            if np.array_equal(np.asarray(h2.inputs[9]),
+                              np.asarray(scr)):
+                return          # stale carry was already correct
+            scr = self._dispatch(h2, h2.g_rows, scr_override=scr)[4]
+        self.carry = self.carry[:4] + (scr,)
 
 
 @functools.partial(jax.jit, static_argnames=("lc_pad",))
