@@ -88,11 +88,18 @@ class CryptoState:
     cck_id: int = -1
     hn: int = -1
     la: int = -1
-    cn: int = -1
+    # the reference's init function skips cn, leaving it 0 from the
+    # zeroed allocation (tetra_crypto.c:92-106) — mirrored here so the
+    # la/cc guards alone gate TB5, exactly as in decrypt_mac_element
+    cn: int = 0
     cc: int = -1
     network: TetraNetinfo | None = None
     cck: TetraKey | None = None
     db: CryptoDatabase = field(default_factory=CryptoDatabase)
+    # optional observability hook: called with structured tuples
+    # mirroring the reference's tetra_crypto printfs, so differential
+    # tests can diff key-selection decisions line by line
+    event_cb: object = None
 
     def update_current_network(self, mcc: int, mnc: int):
         """(reference tetra_crypto.c:416-436)."""
@@ -102,12 +109,16 @@ class CryptoState:
 
     def update_current_cck(self):
         """(reference tetra_crypto.c:438-452)."""
+        if self.event_cb:
+            self.event_cb(("CCK_INVOKED", self.cck_id, self.mcc, self.mnc))
         self.cck = None
         for key in self.db.keys:
             if (key.mcc == self.mcc and key.mnc == self.mnc
                     and key.key_num == self.cck_id
                     and key.key_type == KeyType.CCK_SCK):
                 self.cck = key
+                if self.event_cb:
+                    self.event_cb(("CCK_SET", key.index))
                 break
 
     def get_ksg_key(self, addr: int) -> TetraKey | None:
@@ -187,22 +198,35 @@ def generate_keystream(tcs: CryptoState, key: TetraKey, time, num_bits: int) -> 
 
 
 def decrypt_mac_element(tcs: CryptoState, key: TetraKey, bits, time,
-                        tmpdu_offset: int, lchan_second_half: bool = False):
+                        tmpdu_offset: int, lchan_second_half: bool = False,
+                        event_cb=None):
     """XOR-decrypt a MAC element in place semantics (returns new array).
 
     Mirrors tetra_crypto.c:211-252 including the 216-bit keystream skip
-    for second-half-slot SCH/HD blocks. Returns (bits, ok).
+    for second-half-slot SCH/HD blocks. Returns (bits, ok).  `event_cb`
+    receives structured tuples at exactly the points the reference
+    printfs (tetra_crypto.c:217-219, 232, 248-249) for differential
+    parity against the compiled reference's stdout.
     """
     bits = np.asarray(bits, dtype=np.uint8).copy()
     l1_len = len(bits)
     ct_len = l1_len - tmpdu_offset
     if key is None or ct_len <= 0:
         return bits, False
+    if tcs.cn < 0 or tcs.la < 0 or tcs.cc < 0:
+        if event_cb:
+            event_cb(("CRYPTO_NOTB5", tcs.cn, tcs.la, tcs.cc))
+        return bits, False
     skip = 216 if lchan_second_half else 0
+    if skip and event_cb:
+        event_cb(("SKIP216",))
     ks = generate_keystream(tcs, key, time, skip + ct_len)
     if ks is None:
         return bits, False
     bits[tmpdu_offset:] ^= ks[skip:skip + ct_len]
+    if event_cb:
+        event_cb(("DECRYPT", key.addr, key.index, tcs.hn,
+                  time.mn, time.fn, time.tn, tmpdu_offset, ct_len))
     return bits, True
 
 

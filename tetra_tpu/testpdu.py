@@ -59,8 +59,12 @@ def make_sync_pdu(cc=1, tn=1, fn=1, mn=1, mcc=262, mnc=42) -> np.ndarray:
 
 def make_sysinfo_pdu(main_carrier=3710, freq_band=3, la=1234,
                      subscr_class=0xFFFF, service_details=0x865,
-                     hyperframe=0) -> np.ndarray:
-    """124-bit SYSINFO PDU (reference testpdu.c:64-89)."""
+                     hyperframe=0, cck_id=None) -> np.ndarray:
+    """124-bit SYSINFO PDU (reference testpdu.c:64-89).
+
+    `cck_id` not None flips the hyperframe/CCK flag so the 16-bit field
+    carries the common-cipher-key id instead of the hyperframe number
+    (reference macpdu_decode_sysinfo cck_valid_no_hf)."""
     return (BitBuilder()
             .u(2, 2)            # MAC PDU type: broadcast
             .u(0, 2)            # SYSINFO PDU
@@ -74,8 +78,8 @@ def make_sysinfo_pdu(main_carrier=3710, freq_band=3, la=1234,
             .u(0, 4)            # RXLEV_ACCESS_MIN
             .u(0, 4)            # ACCESS_PARAMETER
             .u(0, 4)            # RADIO_DOWNLINK_TIMEOUT
-            .u(0, 1)            # hyperframe follows
-            .u(hyperframe, 16)
+            .u(0 if cck_id is None else 1, 1)   # CCK id / hyperframe flag
+            .u(hyperframe if cck_id is None else cck_id, 16)
             .u(0, 2)            # optional field: even multiframe
             .u(0, 20)           # TS_COMMON_FRAMES
             .u(la, 14)          # D-MLE-SYSINFO: location area

@@ -330,6 +330,9 @@ def normalize_py_events(carrier: int, events: list) -> list:
             emit(EV.STRANGE_PDU, e[1])
         elif tag == "STRANGE_LCHAN":
             emit(EV.STRANGE_LCHAN, e[1])
+        elif tag in ("DECRYPT", "SKIP216", "CRYPTO_NOTB5", "CCK_INVOKED",
+                     "CCK_SET"):
+            pass  # crypto observability events (ref-parity only)
         else:  # pragma: no cover
             raise ValueError(f"unknown python event {tag}")
     return out

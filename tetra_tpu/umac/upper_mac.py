@@ -220,7 +220,8 @@ class UpperMac:
                 second_half = (tup.blk_num == 2 and tup.lchan in
                                (LogicalChannel.SCH_HD, LogicalChannel.UNKNOWN))
                 bits, ok = decrypt_mac_element(
-                    self.tcs, key, bits, tup.tdma_time, tmpdu_offset, second_half)
+                    self.tcs, key, bits, tup.tdma_time, tmpdu_offset,
+                    second_half, event_cb=self.events.append)
                 rsd.is_encrypted = int(not ok)
                 if ok and rsd.chan_alloc_pres:
                     cad = mac_pdu.decode_chan_alloc(bits[tmpdu_offset:])
@@ -287,7 +288,8 @@ class UpperMac:
             body = body[:len(bits) - _num_fill_bits(bits) - n]
         if fs.encryption and fs.key is not None:
             dec, _ = decrypt_mac_element(self.tcs, fs.key,
-                                         bits[:n + len(body)], tup.tdma_time, n)
+                                         bits[:n + len(body)], tup.tdma_time,
+                                         n, event_cb=self.events.append)
             body = dec[n:]
         self._append_frag(slot, body)
         self.log(f"FRAG-CONT slot={slot} added={len(body)}")
@@ -318,7 +320,9 @@ class UpperMac:
         if fill:
             work = work[:len(work) - _num_fill_bits(work)]
         if fs.encryption and fs.key is not None:
-            work, _ = decrypt_mac_element(self.tcs, fs.key, work, tup.tdma_time, n)
+            work, _ = decrypt_mac_element(self.tcs, fs.key, work,
+                                          tup.tdma_time, n,
+                                          event_cb=self.events.append)
         if chanalloc_present:
             cad = mac_pdu.decode_chan_alloc(work[n:])
             n += cad.bit_len
