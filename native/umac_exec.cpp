@@ -272,6 +272,25 @@ struct Ctx {
         ev_a[ev_n] = a; ev_b[ev_n] = b; ev_c[ev_n] = c; ev_d[ev_n] = d;
         ev_n++;
     }
+
+    // TL-SDU payload arena (walk2 only): reassembled payload ubits are
+    // copied here so the host can egress actual bytes (TUN writes for
+    // SNDCP IP, SDS sinks) instead of only lengths — the reference
+    // writes IP payloads from its one plane (tetra_llc.c:93-101); this
+    // gives the scale plane the same capability.
+    uint8_t *pay = nullptr;
+    int64_t pay_max = 0, pay_n = 0, pay_overflow = 0;
+
+    int64_t pay_put(const Bits &b) {  // arena offset, or -1 (disabled/full)
+        if (!pay || pay_n + b.n > pay_max) {
+            if (pay) pay_overflow = 1;
+            return -1;
+        }
+        std::memcpy(pay + pay_n, b.p, (size_t)b.n);
+        int64_t off = pay_n;
+        pay_n += b.n;
+        return off;
+    }
 };
 
 // ---- crypto state (crypto/crypto.py, reference tetra_crypto.c) ----
@@ -354,21 +373,30 @@ bool decrypt_elem(Ctx &cx, Carrier &car, int key_idx, uint8_t *bits,
 
 // ---- LLC / MLE ----
 
-void rx_tl_sdu(Ctx &cx, const Bits &sdu) {
+// d encodes the payload arena ref: -1 when no arena (or full), else
+// (arena_bit_offset << 1) | from_defrag — from_defrag marks TL-SDUs
+// reassembled by the advanced-link defragmenter, the only ones the
+// reference writes to TUN (tetra_llc.c:81-107)
+void rx_tl_sdu(Ctx &cx, const Bits &sdu, bool from_defrag = false) {
     int pdisc = (int)sdu.u(0, 3);
     int64_t pdut = -1;
     if (pdisc == 1) pdut = sdu.u(3, 4);        // MM
     else if (pdisc == 2) pdut = sdu.u(3, 5);   // CMCE
     else if (pdisc == 4) pdut = sdu.u(3, 4);   // SNDCP
     else if (pdisc == 5) pdut = sdu.u(3, 3);   // MLE
-    cx.emit(EV_TLSDU, pdisc, pdut, sdu.n);
+    int64_t off = cx.pay_put(sdu);
+    // no arena (process/walk entries): keep the legacy d=0; arena
+    // present: d = (offset << 1) | from_defrag, or -1 when full
+    cx.emit(EV_TLSDU, pdisc, pdut, sdu.n,
+            cx.pay == nullptr ? 0
+            : off < 0 ? -1 : ((off << 1) | (from_defrag ? 1 : 0)));
 }
 
 void defrag_out(Ctx &cx, Carrier &car, int ns) {
     Defrag &d = car.defrag[ns & 0xFF];
     if (!d.present) return;
     Bits full{d.bits.data(), (int64_t)d.bits.size()};
-    rx_tl_sdu(cx, full);
+    rx_tl_sdu(cx, full, true);
     d.present = false;
     d.last_ss = 0;
     d.bits.clear();
@@ -929,17 +957,24 @@ int64_t tetra_umac_walk(void *p, const uint8_t *bits,
 // (0 SYNC/1 SCHF/2 NDB), okA, okB, burst_delta (TDMA slots to advance
 // BEFORE dispatch, incl. this slot's own), row, slot_ref. tails:
 // per-carrier trailing advances after each carrier's last record.
+// pay/pay_max: optional TL-SDU payload arena (ubits out); *pay_n_out
+// receives the bits written. Size it with tetra_umac_payload_bound —
+// the walk is stateful (TDMA clocks, defragmenters) and cannot be
+// re-run on overflow.
 int64_t tetra_umac_walk2(void *p, const uint8_t *bits,
                          const int32_t *recs, int64_t n_recs,
                          const int32_t *tails, int64_t n_tails,
                          int32_t *ev_car, int32_t *ev_kind,
                          int64_t *ev_a, int64_t *ev_b, int64_t *ev_c,
                          int64_t *ev_d, int64_t max_events,
-                         int32_t *overflow) {
+                         int32_t *overflow,
+                         uint8_t *pay, int64_t pay_max,
+                         int64_t *pay_n_out) {
     Ctx &cx = *(Ctx *)p;
     cx.ev_car = ev_car; cx.ev_kind = ev_kind;
     cx.ev_a = ev_a; cx.ev_b = ev_b; cx.ev_c = ev_c; cx.ev_d = ev_d;
     cx.ev_max = max_events; cx.ev_n = 0; cx.overflow = 0;
+    cx.pay = pay; cx.pay_max = pay_max; cx.pay_n = 0; cx.pay_overflow = 0;
 
     for (int64_t i = 0; i < n_recs; i++) {
         const int32_t *r = recs + 7 * i;
@@ -968,8 +1003,26 @@ int64_t tetra_umac_walk2(void *p, const uint8_t *bits,
     for (int64_t c = 0; c < n_tails && c < (int64_t)cx.carriers.size();
          c++)
         for (int k = 0; k < tails[c]; k++) tdma_add_tn1(cx.carriers[c]);
-    if (overflow) *overflow = (int32_t)cx.overflow;
+    if (overflow) *overflow = (int32_t)(cx.overflow | (cx.pay_overflow << 1));
+    if (pay_n_out) *pay_n_out = cx.pay_n;
+    cx.pay = nullptr; cx.pay_max = 0;
     return cx.ev_n;
+}
+
+// Upper bound on the TL-SDU payload bits one walk2 call over
+// `chunk_bits` input bits can emit: every emitted payload bit comes
+// from this chunk's rows or from carried reassembly state (advanced-
+// link defragmenters + upper-MAC fragslots), and none is emitted twice.
+int64_t tetra_umac_payload_bound(void *p, int64_t chunk_bits) {
+    Ctx &cx = *(Ctx *)p;
+    int64_t pending = 0;
+    for (const Carrier &car : cx.carriers) {
+        for (int i = 0; i < NR_FRAGSLOTS; i++)
+            pending += (int64_t)car.frags[i].bits.size();
+        for (int i = 0; i < 256; i++)
+            pending += (int64_t)car.defrag[i].bits.size();
+    }
+    return chunk_bits + pending + 1024;
 }
 
 // toggle GSMTAP event emission (EV_GSMTAP per CRC-OK TMV dispatch in

@@ -198,7 +198,11 @@ def _diff_events(py, nat, B):
                 continue
             got[int(evd["carrier"][i])].append(
                 (int(evd["carrier"][i]), k, int(evd["a"][i]),
-                 int(evd["b"][i]), int(evd["c"][i]), int(evd["d"][i])))
+                 int(evd["b"][i]), int(evd["c"][i]),
+                 # TLSDU d is a per-chunk payload-arena ref on the
+                 # native plane (no Python counterpart); the payload
+                 # BYTES are differential-tested in test_rx_multi
+                 0 if k == EV.TLSDU else int(evd["d"][i])))
     for c in range(B):
         want = [t for t in normalize_py_events(c, py.carriers[c].umac.events)
                 if t[1] not in skip]

@@ -223,3 +223,93 @@ class TestNativeControlPlane:
 def scrambled(t3, init):
     from tetra_tpu.ops.scramble import scramb_bits
     return scramb_bits(jnp.uint32(init), jnp.asarray(t3))
+
+
+class TestNativePayloadEgress:
+    def test_ip_and_tlsdu_egress_match_python_plane(self, monkeypatch):
+        """Defrag-heavy capture: SNDCP IP packet bytes written to TUN
+        and the generic TL-SDU sink output must be byte-identical from
+        both planes — the native plane egresses real payloads through
+        the walk2 event arena, not just lengths (reference TUN write:
+        tetra_llc.c:81-107)."""
+        import pytest
+        from tetra_tpu.umac import native_exec
+        if not native_exec.available():
+            pytest.skip("native library unavailable")
+        from tests.test_native_umac import make_al_udata
+        from tetra_tpu.utils.bits import uint_to_bits
+        from tetra_tpu.rx import TetraReceiver
+
+        rng = np.random.default_rng(17)
+        init = scramb_get_init(262, 42, 1)
+        aach = testpdu.make_access_assign_bits()
+        sync = testpdu.make_sync_pdu(cc=1, mcc=262, mnc=42)
+        sb = np.asarray(tx.make_sync_burst(
+            sync, testpdu.make_sysinfo_pdu(), aach, jnp.uint32(init)),
+            np.uint8)
+        schf = lambda p: np.asarray(tx.make_schf_burst(
+            p, aach, jnp.uint32(init)), np.uint8)
+
+        def stream(c):
+            # SNDCP TL-SDU: pdisc 4 + 16 header bits + IP payload bytes
+            ip = bytes([0x45, 0, 0, 32, c]) + bytes(
+                rng.integers(0, 256, 27).astype(np.uint8))
+            ip_bits = np.unpackbits(np.frombuffer(ip, np.uint8))
+            tl = np.concatenate([uint_to_bits(4, 3), uint_to_bits(0, 16),
+                                 ip_bits]).astype(np.int8)
+            cuts = [0, 70, 140, 210, len(tl)]
+            frags = [make_al_udata(k == 3, ns=5, ss=k + 1,
+                                   payload=tl[cuts[k]:cuts[k + 1]])
+                     for k in range(4)]
+            # plus a BL-UDATA CMCE slot so the sink sees both paths
+            bl = testpdu.make_bl_udata(testpdu.make_mle_cmce_dsetup())
+            parts = [rng.integers(0, 2, 40 + 11 * c).astype(np.uint8),
+                     sb, sb]
+            parts += [schf(testpdu.make_resource_pdu(
+                ssi=0x600 + c, sdu_bits=f)) for f in frags]
+            parts.append(schf(testpdu.make_resource_pdu(
+                ssi=0x700 + c, sdu_bits=bl)))
+            parts.append(np.zeros(640, np.uint8))
+            return np.concatenate(parts), ip
+
+        B = 3
+        built = [stream(c) for c in range(B)]
+        n = min(len(s) for s, _ in built)
+        batch = np.stack([s[:n] for s, _ in built])
+        want_ips = [ip for _, ip in built]
+        # a cut INSIDE the fragment chain exercises cross-chunk defrag
+        # state and the payload-arena bound with pending bits
+        cut = (len(built[0][0]) // 2) & ~63
+
+        def run(plane):
+            ips = {c: [] for c in range(B)}
+            tls = []
+            rx_of = {}
+            monkeypatch.setattr(
+                TetraReceiver, "_ip_out",
+                lambda self, pkt: ips[rx_of[id(self)]].append(pkt))
+            mrx = MultiCarrierReceiver(
+                np.zeros(B, np.float32), fs=25e3 * B,
+                control_plane=plane,
+                tl_sdu_sink=lambda c, pd, pt, bits: tls.append(
+                    (c, pd, pt, bits.tobytes())))
+            for c, rx in enumerate(mrx.carriers):
+                rx_of[id(rx)] = c
+            mrx.process_bits(batch[:, :cut], final=False)
+            mrx.process_bits(batch[:, cut:], final=True)
+            return ips, tls
+
+        py_ips, py_tls = run("python")
+        nat_ips, nat_tls = run("native")
+        for c in range(B):
+            assert py_ips[c], f"carrier {c}: python plane wrote no IP"
+            assert py_ips[c] == nat_ips[c], c
+            # the reassembled packet is the original IP bytes
+            assert py_ips[c] == [want_ips[c]]
+        # same TL-SDU multiset per carrier (chunking only reorders
+        # across carriers)
+        for c in range(B):
+            assert [t for t in py_tls if t[0] == c] == \
+                [t for t in nat_tls if t[0] == c], c
+        assert sum(t[1] == 4 for t in py_tls) == B        # SNDCP
+        assert sum(t[1] == 2 for t in py_tls) == B        # CMCE

@@ -42,7 +42,8 @@ class MultiCarrierReceiver:
                  pfb_channels=None, n_chan: int | None = None,
                  control_plane: str = "python",
                  gsmtap_host: str | None = None,
-                 decode_voice: bool = False):
+                 decode_voice: bool = False,
+                 tl_sdu_sink=None):
         self.offsets = np.asarray(offsets_hz, dtype=np.float32)
         self.fs = float(fs)
         self.sps = sps
@@ -76,6 +77,22 @@ class MultiCarrierReceiver:
         # events instead of log lines; unencrypted fast path)
         assert control_plane in ("python", "native")
         self.control_plane = control_plane
+        # generic TL-SDU egress (the SDS/data sink surface):
+        # fn(carrier, pdisc, pdut, sdu_ubits) for every TL-SDU, from
+        # either plane. SNDCP IP payloads additionally go to tun0 via
+        # each carrier's _ip_out (reference tetra_llc.c:81-107).
+        self.tl_sdu_sink = tl_sdu_sink
+        if tl_sdu_sink is not None and control_plane == "python":
+            from tetra_tpu.utils.bits import bits_to_uint
+            for ci, rx in enumerate(self.carriers):
+                def cb(bits, n, _c=ci):
+                    b = np.asarray(bits)[:n]
+                    pdisc = int(bits_to_uint(b[:3]))
+                    w = {1: 4, 2: 5, 4: 4, 5: 3}.get(pdisc)
+                    pdut = (-1 if w is None
+                            else int(bits_to_uint(b[3:3 + w])))
+                    self.tl_sdu_sink(_c, pdisc, pdut, b)
+                rx.llc.tl_sdu_cb = cb
         self.native_cp = None
         self.gsmtap = None
         self.native_events = []   # accumulated event dicts (native mode)
@@ -253,6 +270,28 @@ class MultiCarrierReceiver:
 
         if self.gsmtap is not None:
             self._export_gsmtap(evd, d)
+
+        # TL-SDU payload egress from the event arena: defrag-
+        # reassembled SNDCP IP payloads to tun0 (matching the Python
+        # plane's _defrag_out -> ip_cb path and the reference's
+        # tetra_llc.c:93-101 TUN write), every TL-SDU to the generic
+        # sink when one is registered
+        arena = evd.get("payload")
+        if arena is not None and len(arena):
+            from tetra_tpu.utils.bits import pack_bits
+            for i in np.flatnonzero(kinds == EV.TLSDU):
+                ref = int(evd["d"][i])
+                if ref < 0:
+                    continue
+                nbits = int(evd["c"][i])
+                sdu = arena[ref >> 1: (ref >> 1) + nbits]
+                if (ref & 1) and nbits > 19:
+                    payload = sdu[19:]   # strip SNDCP header bits
+                    self.carriers[cars[i]]._ip_out(
+                        pack_bits(payload[: (len(payload) // 8) * 8]))
+                if self.tl_sdu_sink is not None:
+                    self.tl_sdu_sink(int(cars[i]), int(evd["a"][i]),
+                                     int(evd["b"][i]), sdu)
 
         tr = np.flatnonzero(kinds == EV.TRAFFIC)
         if len(tr):

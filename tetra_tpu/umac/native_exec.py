@@ -98,8 +98,13 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
     lib.tetra_umac_walk2.restype = ctypes.c_int64
+    lib.tetra_umac_payload_bound.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_int64]
+    lib.tetra_umac_payload_bound.restype = ctypes.c_int64
     lib.tetra_umac_get_states.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
     lib.tetra_umac_get_states.restype = None
@@ -192,7 +197,13 @@ class NativeControlPlane:
         (native/umac_exec.cpp::tetra_umac_walk2). bits: concatenated
         408-column packed-decode rows (ubits); recs [n, 7] int32 =
         carrier, kind, okA, okB, burst_delta, row, slot_ref; tails [B]
-        per-carrier trailing TDMA advances."""
+        per-carrier trailing TDMA advances.
+
+        The returned dict carries a TL-SDU payload arena: every
+        EV.TLSDU event's d field is (arena_bit_offset << 1) |
+        from_defrag, indexing `payload` ubits of length c — the
+        host-side egress surface for TUN (SNDCP IP) and SDS sinks
+        (reference tetra_llc.c:81-107)."""
         bits = np.ascontiguousarray(bits, dtype=np.uint8)
         recs = np.ascontiguousarray(recs, dtype=np.int32).reshape(-1, 7)
         tails = np.ascontiguousarray(tails, dtype=np.int32)
@@ -205,18 +216,26 @@ class NativeControlPlane:
         c = np.empty(cap, np.int64)
         d = np.empty(cap, np.int64)
         ovf = ctypes.c_int32(0)
+        pay_cap = int(self._lib.tetra_umac_payload_bound(
+            self._ctx, int(bits.size)))
+        pay = np.empty(pay_cap, np.uint8)
+        pay_n = ctypes.c_int64(0)
         p8 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         p32 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         p64 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         m = self._lib.tetra_umac_walk2(
             self._ctx, p8(bits), p32(recs), n, p32(tails), len(tails),
             p32(car), p32(kind), p64(a), p64(b), p64(c), p64(d),
-            cap, ctypes.byref(ovf))
-        if ovf.value:
+            cap, ctypes.byref(ovf), p8(pay), pay_cap,
+            ctypes.byref(pay_n))
+        if ovf.value & 1:
             raise RuntimeError("native event buffer overflow; raise "
                                "events_per_rec")
+        if ovf.value & 2:  # pragma: no cover - bound is provably wide
+            raise RuntimeError("native payload arena overflow")
         return {"carrier": car[:m], "kind": kind[:m], "a": a[:m],
-                "b": b[:m], "c": c[:m], "d": d[:m]}
+                "b": b[:m], "c": c[:m], "d": d[:m],
+                "payload": pay[:pay_n.value]}
 
     def get_states(self) -> np.ndarray:
         """Per-carrier walk2 state [B, 6] int32: tn fn mn colour mcc
