@@ -779,6 +779,22 @@ void process_block(Ctx &cx, Carrier &car, const Bits &all, int lchan,
 // tp_sap_udata_ind routing incl. BNCH prediction, traffic gating and
 // slot stealing, tetra_lower_mac.c:115-127/178-241); shared by walk
 // (caller-supplied time) and walk2 (native TDMA clock)
+// Voice keystream for a traffic slot when a cipher key is selected
+// (reference tetra_crypto.c:254-282: two half slots, 137 bits each,
+// from the slot-time IV; the reference ships the function unwired —
+// here the walk generates the keystream at EXACT slot time into the
+// payload arena and the host XORs it over the decoded codec frames).
+// Returns (arena_offset + 1) << 8 for packing into EV_TRAFFIC's d, or
+// 0 when no key / incomplete crypto state / no arena.
+int64_t voice_ks_ref(Ctx &cx, Carrier &car) {
+    // key selection mirrors decrypt_voice_timeslot: tcs->cck directly
+    if (car.cck_idx < 0 || !cx.pay) return 0;
+    uint8_t ks[274];
+    if (!gen_keystream(cx, car, car.cck_idx, 274, ks)) return 0;
+    int64_t off = cx.pay_put(Bits{ks, 274});
+    return off < 0 ? 0 : (off + 1) << 8;
+}
+
 void walk_slot(Ctx &cx, Carrier &car, const Bits &blkA, const Bits &bbk,
                const Bits &blkB, int kind, int okA, int okB,
                int tn, int fn, int mn, int slot_ref) {
@@ -804,7 +820,8 @@ void walk_slot(Ctx &cx, Carrier &car, const Bits &blkA, const Bits &bbk,
     } else if (kind == 1) {  // SCH/F
         process_block(cx, car, bbk, LCH_AACH, 1, fn, 0);
         if (car.is_traffic) {
-            cx.emit(EV_TRAFFIC, slot_ref, 0, car.is_traffic, tn);
+            cx.emit(EV_TRAFFIC, slot_ref, 0, car.is_traffic,
+                    voice_ks_ref(cx, car) | tn);
         } else {
             cx.emit(EV_CRC, 2, okA);
             process_block(cx, car, blkA, LCH_SCH_F, okA, fn, 0);
@@ -819,7 +836,8 @@ void walk_slot(Ctx &cx, Carrier &car, const Bits &blkA, const Bits &bbk,
                 cx.emit(EV_CRC, 3, okB);
                 process_block(cx, car, blkB, LCH_UNKNOWN, okB, fn, 2);
             } else {
-                cx.emit(EV_TRAFFIC, slot_ref, 1, car.is_traffic, tn);
+                cx.emit(EV_TRAFFIC, slot_ref, 1, car.is_traffic,
+                        voice_ks_ref(cx, car) | tn);
             }
         } else {
             cx.emit(EV_CRC, 3, okA);
@@ -1009,10 +1027,13 @@ int64_t tetra_umac_walk2(void *p, const uint8_t *bits,
     return cx.ev_n;
 }
 
-// Upper bound on the TL-SDU payload bits one walk2 call over
-// `chunk_bits` input bits can emit: every emitted payload bit comes
-// from this chunk's rows or from carried reassembly state (advanced-
-// link defragmenters + upper-MAC fragslots), and none is emitted twice.
+// Upper bound on the payload bits one walk2 call over `chunk_bits`
+// input bits can emit: every TL-SDU bit comes from this chunk's rows
+// or from carried reassembly state (advanced-link defragmenters +
+// upper-MAC fragslots), none is emitted twice, and a row can add at
+// most one 274-bit voice keystream on top of at most (row_bits - 274)
+// TL-SDU bits (traffic rows emit no SCH/F TL-SDUs) — so chunk_bits
+// still dominates per row; the slack absorbs the stolen-NDB corner.
 int64_t tetra_umac_payload_bound(void *p, int64_t chunk_bits) {
     Ctx &cx = *(Ctx *)p;
     int64_t pending = 0;
@@ -1022,7 +1043,7 @@ int64_t tetra_umac_payload_bound(void *p, int64_t chunk_bits) {
         for (int i = 0; i < 256; i++)
             pending += (int64_t)car.defrag[i].bits.size();
     }
-    return chunk_bits + pending + 1024;
+    return chunk_bits + pending + 4096;
 }
 
 // toggle GSMTAP event emission (EV_GSMTAP per CRC-OK TMV dispatch in

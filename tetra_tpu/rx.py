@@ -326,7 +326,8 @@ class TetraReceiver:
         return ok
 
     def _dump_traffic(self, type4: np.ndarray, usage: int | None = None,
-                      tsn: int | None = None, ssi: int | None = None):
+                      tsn: int | None = None, ssi: int | None = None,
+                      voice_ks=None):
         """Traffic burst dump (reference tetra_lower_mac.c:198-241)."""
         if not self.dumpdir:
             return
@@ -349,22 +350,43 @@ class TetraReceiver:
         with open(os.path.join(self.dumpdir, f"traffic_{usage}_{tsn}.txt"), "a") as f:
             f.write(f"{ssi}\n")
         if self.decode_voice:
-            self._decode_voice_slot(type4, usage, tsn)
+            self._decode_voice_slot(type4, usage, tsn, voice_ks)
 
-    def _decode_voice_slot(self, type4: np.ndarray, usage: int, tsn: int):
+    def _voice_keystream(self):
+        """274 keystream ubits for this slot's voice (reference
+        tetra_crypto.c:254-282: two half slots, 137 bits each, key =
+        tcs->cck, IV from the slot's TDMA time) — None when no key is
+        selected or crypto/clock state is incomplete. The reference
+        ships decrypt_voice_timeslot unwired; here it runs on both
+        control planes (the native walk generates the same stream at
+        slot time into its payload arena)."""
+        from tetra_tpu.crypto.crypto import generate_keystream
+        t = self.time
+        if (self.tcs.cck is None or not (1 <= t.tn <= 4)
+                or not (1 <= t.fn <= 18) or not (1 <= t.mn <= 60)):
+            return None
+        return generate_keystream(self.tcs, self.tcs.cck, t, 274)
+
+    def _decode_voice_slot(self, type4: np.ndarray, usage: int, tsn: int,
+                           voice_ks=None):
         """Beyond-reference capability: run the TCH/S speech FEC chain
-        (rate-1/3 Viterbi per protection class) + ACELP reordering and
-        append the two 137-bit codec frames per slot to a .cod file.
-        The reference ships these components unwired (SURVEY §3.5,
-        TODO:1-2) and dumps raw soft bits instead."""
+        (rate-1/3 Viterbi per protection class) + ACELP reordering,
+        decrypt the two 137-bit codec frames when a key is selected,
+        and append them per slot to a .cod file. The reference ships
+        these components unwired (SURVEY §3.5, TODO:1-2) and dumps raw
+        soft bits instead."""
         import jax.numpy as jnp
         from tetra_tpu.ops import acelp
-        from tetra_tpu.crypto.crypto import decrypt_voice_timeslot
         c0, c1, c2, ok1, ok2 = acelp.tch_s_decode(jnp.asarray(type4[None, :432]))
         # speech line bits: class0 | class1 | class2 = 102+108+64 = 274
         line = np.concatenate([np.asarray(c0)[0], np.asarray(c1)[0],
                                np.asarray(c2)[0]])
         codec = np.asarray(acelp.type2_to_codec(jnp.asarray(line[None])))[0]
+        if voice_ks is None:
+            voice_ks = self._voice_keystream()
+        if voice_ks is not None:
+            codec = codec.copy()
+            codec[:274] ^= np.asarray(voice_ks[:274], codec.dtype)
         path = os.path.join(self.dumpdir, f"voice_{usage}_{tsn}.cod")
         with open(path, "ab") as f:
             f.write(np.packbits(codec.astype(np.uint8)).tobytes())

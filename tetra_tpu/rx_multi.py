@@ -314,5 +314,12 @@ class MultiCarrierReceiver:
                 else:
                     t4 = got_2[n2]
                     n2 += 1
+                # d packs (voice keystream arena ref + 1) << 8 | tn;
+                # the walk generated the 274 keystream ubits at slot
+                # time when a cipher key was selected
+                dd = int(evd["d"][i])
+                vref = dd >> 8
+                ks = (arena[vref - 1: vref - 1 + 274] if vref else None)
                 rx._dump_traffic(t4, usage=int(evd["c"][i]),
-                                 tsn=int(evd["d"][i]) - 1, ssi=0)
+                                 tsn=(dd & 0xFF) - 1, ssi=0,
+                                 voice_ks=ks)
