@@ -399,6 +399,27 @@ def main():
     except Exception:
         pass
 
+    # ---- stage 9: integrated end-to-end over the FULL protocol mix
+    # (NDB/SCH_HD, stolen/STCH, traffic+voice, FRAG/END chains,
+    # mid-stream relocks, 10% TEA1-encrypted carriers) — trimmed to
+    # stage 8's capture length so the fused-chunk programs are reused
+    # (reference workload: tetra_lower_mac.c:178-352) ----
+    try:
+        mcm = bench_mc_e2e.run_mixed(
+            n_car=1024, n_frames=16, n_chunks=4,
+            trim_to=mc["bits_per_carrier"])
+        result["mc_e2e_mixed_realtime_carriers"] = \
+            mcm["realtime_carriers_e2e"]
+        result["mc_e2e_mixed_mbits_per_s"] = mcm["mbits_per_s"]
+        result["mc_e2e_mixed_crc_ok"] = mcm["crc_ok"]
+        result["mc_e2e_mixed_crc_err"] = mcm["crc_err"]
+        result["mc_e2e_mixed_traffic_slots"] = mcm["traffic_slots"]
+        result["mc_e2e_mixed_tl_sdus"] = mcm["tl_sdus"]
+        result["mc_e2e_mixed_frag_ends"] = mcm["frag_ends"]
+        result["mc_e2e_mixed_encrypted_carriers"] = mcm["n_encrypted"]
+    except Exception:
+        pass
+
     print(json.dumps(result))
 
 

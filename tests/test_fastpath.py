@@ -288,3 +288,55 @@ class TestFastPathDifferential:
         for c in range(B):
             assert [t for t in ev_one if t[0] == c] == \
                 [t for t in ev_many if t[0] == c], c
+
+
+class TestMixedProtocolParity:
+    def test_mixed_capture_native_matches_python(self, tmp_path):
+        """The integrated benchmark's FULL protocol mix (NDB/SCH_HD
+        pairs, stolen/STCH, traffic + voice slots, FRAG/END chains, a
+        mid-stream relock, TEA1-encrypted carriers) must decode
+        identically on both planes with ZERO CRC errors — the workload
+        the mc_e2e_mixed number is recorded on."""
+        import sys, pathlib
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve()
+                             .parent.parent / "tools"))
+        import bench_mc_e2e as B
+        bits, n_enc = B.mixed_batch(8, 8, enc_frac=0.25)
+        assert n_enc == 2
+        ksf = tmp_path / "keys.txt"
+        ksf.write_text(B.KEYSTORE)
+        T = bits.shape[1]
+        cuts = [0, T // 3, 2 * T // 3, T]
+
+        def run(plane):
+            mrx = MultiCarrierReceiver(
+                np.zeros(8, np.float32), fs=2e5, control_plane=plane,
+                keystore_path=str(ksf))
+            _feed(mrx, bits, cuts, final_each=plane == "python")
+            return mrx
+
+        py, nat = run("python"), run("native")
+        for c in range(8):
+            p, q = py.carriers[c], nat.carriers[c]
+            assert (p.stats.bursts, p.stats.slots, p.stats.crc_ok,
+                    p.stats.crc_wrong) == \
+                (q.stats.bursts, q.stats.slots, q.stats.crc_ok,
+                 q.stats.crc_wrong), f"carrier {c}"
+            assert p.stats.crc_wrong == 0, f"carrier {c}"
+            assert (p.time.tn, p.time.fn, p.time.mn) == \
+                (q.time.tn, q.time.fn, q.time.mn), f"carrier {c}"
+            assert (p.colour_code, p.mcc, p.mnc, p.scramb_init) == \
+                (q.colour_code, q.mcc, q.mnc, q.scramb_init), c
+        # the mix actually exercised the protocol paths on both planes
+        from tetra_tpu.umac.native_exec import EV
+        kinds = np.concatenate([e["kind"] for e in nat.native_events])
+        assert (kinds == EV.TRAFFIC).sum() > 0
+        assert (kinds == EV.FRAG_END).sum() > 0
+        assert (kinds == EV.TLSDU).sum() > 0
+        # encrypted carriers decrypted: their RESOURCEs parse with the
+        # encrypted flag cleared
+        enc_cars = set(range(6, 8))
+        res = [(int(c), int(d)) for e in nat.native_events
+               for c, k, d in zip(e["carrier"], e["kind"], e["d"])
+               if k == EV.RESOURCE and int(c) in enc_cars]
+        assert res and all((d & 1) == 0 for _, d in res)

@@ -20,11 +20,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 
 from tetra_tpu import tx, testpdu
-from tetra_tpu.ops.scramble import scramb_get_init
+from tetra_tpu.ops.scramble import scramb_get_init, scramb_bits
 from tetra_tpu.rx_multi import MultiCarrierReceiver
 
 INIT = scramb_get_init(262, 42, 1)
 BITRATE = 36_000.0  # bits/s per carrier: real-time reference
+
+MCC, MNC, CC = 262, 42, 1
+SCK = bytes(range(0xA0, 0xAA))
+CCK_ID = 7
+KEYSTORE = (f"network mcc {MCC} mnc {MNC} ksg_type 1 security_class 2\n"
+            f"key mcc {MCC} mnc {MNC} addr 0 key_type 1 key_num {CCK_ID} "
+            f"key {SCK.hex().upper()}\n")
 
 
 def make_stream(rng, n_frames):
@@ -47,6 +54,173 @@ def make_stream(rng, n_frames):
             frames.append(schf[(f + tn) % 4])
     return np.concatenate([rng.integers(0, 2, 731).astype(np.uint8)]
                           + frames)
+
+
+def _encrypt_pdu(pdu, tn, fn, mn, skip=0, end=None):
+    """Set encryption_mode=1 and XOR the ciphertext range with the
+    keystream the RX will derive at the slot's TDMA time (TX mirror of
+    reference tetra_crypto.c:158-252; SYSINFO advertises CCK_ID so the
+    SCK above is selected, hn stays -1)."""
+    from tetra_tpu.umac import mac_pdu
+    from tetra_tpu.crypto.crypto import (CryptoState, TetraKey,
+                                         TetraNetinfo, generate_keystream)
+    from tetra_tpu.tdma import TdmaTime
+    pdu = np.array(pdu)
+    pdu[4:6] = [0, 1]
+    off = mac_pdu.decode_resource(pdu).bit_len
+    if end is None:
+        end = mac_pdu.decode_resource(pdu).macpdu_length * 8
+    ni = TetraNetinfo(mcc=MCC, mnc=MNC, ksg_type=1, security_class=2)
+    key = TetraKey(index=0, mcc=MCC, mnc=MNC, key_type=1, key_num=CCK_ID,
+                   addr=0, key=SCK, network_info=ni)
+    tcs = CryptoState(mcc=MCC, mnc=MNC, cc=CC, cn=3710, la=1234, hn=-1)
+    ks = generate_keystream(tcs, key, TdmaTime(tn=tn, fn=fn, mn=mn),
+                            skip + (end - off))
+    pdu[off:end] ^= ks[skip:]
+    return pdu.astype(np.int8)
+
+
+def _start_frag(ssi, sdu, total_len=268):
+    """MAC-RESOURCE with length 0x3F (start of fragmentation)."""
+    b = (testpdu.BitBuilder().u(0, 2).u(0, 1).u(0, 1).u(0, 2).u(0, 1)
+         .u(0x3F, 6).u(1, 3).u(ssi, 24).u(0, 1).u(0, 1).u(0, 1).raw(sdu))
+    return b.pad_to(total_len, 0).array(total_len)
+
+
+def _mac_end(sdu, total_len=268):
+    """MAC-END carrying the final fragment + a null PDU terminator."""
+    li = -(-(2 + 1 + 1 + 1 + 6 + 1 + 1 + len(sdu)) // 8)
+    b = (testpdu.BitBuilder().u(1, 2).u(1, 1).u(0, 1).u(0, 1).u(li, 6)
+         .u(0, 1).u(0, 1).raw(sdu).pad_to(li * 8, 0)
+         .u(0, 2).u(0, 1).u(0, 1).u(0, 2).u(0, 1).u(0, 6).u(0, 3))
+    return b.pad_to(total_len, 0).array(total_len)
+
+
+def _null_schf(total_len=268):
+    return (testpdu.BitBuilder().u(0, 2).u(0, 1).u(0, 1).u(0, 2).u(0, 1)
+            .u(0, 6).u(0, 3).pad_to(total_len, 0).array(total_len))
+
+
+def _stolen_marker(ssi, sdu, total_len=124):
+    """RESOURCE with length 0x3E: this STCH block fills the half slot
+    and announces the second block is ALSO stolen."""
+    b = (testpdu.BitBuilder().u(0, 2).u(0, 1).u(0, 1).u(0, 2).u(0, 1)
+         .u(0x3E, 6).u(1, 3).u(ssi, 24).u(0, 1).u(0, 1).u(0, 1).raw(sdu))
+    return b.pad_to(total_len, 0).array(total_len)
+
+
+def make_mixed_stream(rng, n_frames, encrypted=False):
+    """One carrier's FULL-protocol-mix stream: SYNC + SCH/F resources
+    with LLC payloads, NDB/SCH_HD half-slot pairs, FRAG-START/MAC-END
+    chains, traffic+voice slots (full-slot and NDB half-slot), fully
+    stolen STCH slots, a forced mid-stream relock, frame-18 AACH
+    windows, and (encrypted=True) TEA1-encrypted RESOURCEs incl. a
+    216-bit-skip second half slot — the workload class of reference
+    tetra_lower_mac.c:178-352 instead of a sanitized SYNC/SCH_F mix."""
+    from tetra_tpu.phy.sync import compute_match_map
+
+    def clean_noise(n):
+        # noise span with NO accidental training-sequence match: a
+        # false lock during (re)acquisition would emit one garbage
+        # slot (CRC wrong) and break the capture's 0-error invariant
+        while True:
+            cand = rng.integers(0, 2, n).astype(np.uint8)
+            if not compute_match_map(cand).any():
+                return cand
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        aach = testpdu.make_access_assign_bits()
+        aach_t = testpdu.make_access_assign_bits(hdr=3, f1=5, f2=0)
+        si = (testpdu.make_sysinfo_pdu(cck_id=CCK_ID) if encrypted
+              else testpdu.make_sysinfo_pdu(hyperframe=99))
+        bb_t = np.asarray(tx.encode_bbk(jnp.asarray(aach_t),
+                                        jnp.uint32(INIT)))
+        dsetup = testpdu.make_bl_udata(testpdu.make_mle_cmce_dsetup())
+        big_tl = np.concatenate(
+            [testpdu.make_mle_cmce_dsetup(),
+             np.tile([1, 0, 1, 1, 0, 0], 40)]).astype(np.int8)
+        big_llc = testpdu.make_bl_udata(big_tl)
+
+        def sb(fn):
+            return np.asarray(tx.make_sync_burst(
+                testpdu.make_sync_pdu(mcc=MCC, mnc=MNC, cc=CC, tn=1,
+                                      fn=fn, mn=1),
+                si, aach, jnp.uint32(INIT)), np.uint8)
+
+        def schf(pdu, traffic=False):
+            return np.asarray(tx.make_schf_burst(
+                pdu, aach_t if traffic else aach,
+                jnp.uint32(INIT)), np.uint8)
+
+        def ndb(b1, b2, traffic=False):
+            return np.asarray(tx.make_ndb_burst(
+                b1, b2, aach_t if traffic else aach,
+                jnp.uint32(INIT)), np.uint8)
+
+        from tetra_tpu.phy.burst import build_norm_c_d_burst
+
+        def voice():
+            t5 = np.asarray(scramb_bits(
+                jnp.uint32(INIT),
+                jnp.asarray(rng.integers(0, 2, 432).astype(np.int8))))
+            return np.asarray(build_norm_c_d_burst(
+                t5[:216], bb_t, t5[216:], False), np.uint8)
+
+        def ndb_half_voice(b1_pdu):
+            # STCH signalling in block 1 (auto-stolen on a traffic
+            # slot), raw half-slot voice in block 2
+            b1 = np.asarray(tx.encode_block("NDB", jnp.asarray(b1_pdu),
+                                            jnp.uint32(INIT)))
+            t5 = np.asarray(scramb_bits(
+                jnp.uint32(INIT),
+                jnp.asarray(rng.integers(0, 2, 216).astype(np.int8))))
+            return np.asarray(build_norm_c_d_burst(b1, bb_t, t5, True),
+                              np.uint8)
+
+        res = lambda ssi, sdu=dsetup, tl=268: testpdu.make_resource_pdu(
+            ssi=ssi, sdu_bits=sdu, total_len=tl)
+        frag1 = _start_frag(0x777, big_llc[: 268 - 43])
+        frag2 = _mac_end(big_llc[268 - 43:])
+
+        # double-SYNC head: alignment consumes the first burst, the
+        # second decodes SB1 so the cell scrambling code is known
+        # before the first pattern frame's NDB/stolen slots
+        parts = [clean_noise(731), sb(1)]
+        for f in range(n_frames):
+            fn = f % 18 + 1
+            parts.append(sb(fn))
+            p = f % 4
+            if p == 0:
+                if encrypted:
+                    e = lambda tn, tl=268, skip=0, end=None: _encrypt_pdu(
+                        res(0x900 + f, tl=tl), tn, fn, 1, skip, end)
+                    parts += [schf(e(2)),
+                              ndb(e(3, tl=124),
+                                  _encrypt_pdu(res(0x90F, tl=124), 3, fn,
+                                               1, skip=216)),
+                              schf(e(4))]
+                else:
+                    parts += [schf(res(0x400 + f)),
+                              ndb(res(0x500 + f, tl=124),
+                                  res(0x501 + f, tl=124)),
+                              schf(res(0x402 + f))]
+            elif p == 1:
+                # FRAG-START at tn=2; END lands on the same TN next frame
+                parts += [schf(frag1), schf(_null_schf()),
+                          schf(_null_schf())]
+            elif p == 2:
+                parts += [schf(frag2), voice(),
+                          ndb(_stolen_marker(0x600 + f, dsetup),
+                              res(0x601 + f, tl=124), traffic=True)]
+            else:
+                parts += [schf(res(0x700 + f)),
+                          ndb_half_voice(res(0x702 + f, tl=124)),
+                          voice()]
+            if f == n_frames // 2:
+                # lock loss + re-acquisition mid-stream
+                parts.append(clean_noise(443))
+    return np.concatenate(parts)
 
 
 def run(n_car=1024, n_frames=8, n_chunks=4):
@@ -101,10 +275,86 @@ def run(n_car=1024, n_frames=8, n_chunks=4):
     return res
 
 
+def mixed_batch(n_car, n_frames, enc_frac=0.1, seed=0):
+    """[n_car, L] mixed-protocol bits; the last ceil(enc_frac * n_car)
+    carriers run the TEA1-encrypted variant."""
+    rng = np.random.default_rng(seed)
+    plain = make_mixed_stream(rng, n_frames, encrypted=False)
+    enc = make_mixed_stream(np.random.default_rng(seed + 1), n_frames,
+                            encrypted=True)
+    L = min(len(plain), len(enc))
+    n_enc = max(1, int(round(n_car * enc_frac)))
+    bits = np.empty((n_car, L), np.uint8)
+    bits[: n_car - n_enc] = plain[:L]
+    bits[n_car - n_enc:] = enc[:L]
+    for c in range(n_car):   # stagger lock offsets across carriers
+        bits[c] = np.roll(bits[c], c % 17)
+        bits[c, : c % 17] = rng.integers(0, 2, c % 17)
+    return bits, n_enc
+
+
+def run_mixed(n_car=1024, n_frames=16, n_chunks=4, enc_frac=0.1,
+              trim_to=None):
+    """Timed end-to-end pass over the FULL protocol mix (NDB/SCH_HD,
+    stolen/STCH, traffic+voice, FRAG/END chains, mid-stream relocks,
+    >=10% TEA1-encrypted carriers) through the native control plane —
+    the non-sanitized integrated number. `trim_to` trims the capture
+    to the clean run's per-carrier length so both stages share the
+    SAME fused-chunk program shapes (one compile on the rig)."""
+    import tempfile
+    bits, n_enc = mixed_batch(n_car, n_frames, enc_frac)
+    if trim_to is not None and bits.shape[1] > trim_to:
+        bits = bits[:, :trim_to]
+    T = bits.shape[1]
+    cuts = np.linspace(0, T, n_chunks + 1).astype(int)
+    ksf = tempfile.NamedTemporaryFile("w", suffix=".keys", delete=False)
+    ksf.write(KEYSTORE)
+    ksf.close()
+
+    def one_pass():
+        mc = MultiCarrierReceiver(np.zeros(n_car), fs=25_000.0 * n_car,
+                                  control_plane="native",
+                                  keystore_path=ksf.name)
+        for k in range(n_chunks):
+            stats = mc.process_bits(bits[:, cuts[k]:cuts[k + 1]],
+                                    final=k == n_chunks - 1)
+        return mc, stats
+
+    mc, stats = one_pass()     # warm (compile)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        mc, stats = one_pass()
+        samples.append(time.perf_counter() - t0)
+    dt = float(np.median(samples))
+
+    crc_ok = sum(s.crc_ok for s in stats)
+    crc_bad = sum(s.crc_wrong for s in stats)
+    from tetra_tpu.umac.native_exec import EV
+    kinds = np.concatenate([e["kind"] for e in mc.native_events])
+    stream_s = T / BITRATE
+    res = {
+        "n_carriers": n_car, "n_encrypted": n_enc,
+        "bits_per_carrier": T, "chunks": n_chunks,
+        "wall_s": round(dt, 3), "stream_s": round(stream_s, 3),
+        "crc_ok": int(crc_ok), "crc_err": int(crc_bad),
+        "traffic_slots": int((kinds == EV.TRAFFIC).sum()),
+        "tl_sdus": int((kinds == EV.TLSDU).sum()),
+        "frag_ends": int((kinds == EV.FRAG_END).sum()),
+        "realtime_carriers_e2e": round(n_car * stream_s / dt, 1),
+        "mbits_per_s": round(n_car * T / dt / 1e6, 1)}
+    assert crc_bad == 0 and crc_ok > 0, (crc_ok, crc_bad)
+    assert res["traffic_slots"] > 0 and res["frag_ends"] > 0
+    return res
+
+
 def main():
     n_car = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    if len(sys.argv) > 4 and sys.argv[4] == "mixed":
+        print(json.dumps(run_mixed(n_car, n_frames, n_chunks)))
+        return
     print(json.dumps(run(n_car, n_frames, n_chunks)))
 
 
