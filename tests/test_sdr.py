@@ -234,3 +234,51 @@ class TestReceiverRtlTcp:
         assert "CRC ok/wrong" in err
         cmds = dict(srv.commands)
         assert cmds[CMD_FREQ] == 392_500_000
+
+
+class TestScanToNativePlane:
+    def test_scan_confirm_native_plane_e2e(self, capsys):
+        """The PRODUCTION configuration: mock rtl_tcp server ->
+        `--carriers auto` (spectrum scan + confirm decode) -> native
+        control plane. The scan must hand the confirmed offsets to the
+        fastpath plane, and the decode must match the Python plane on
+        the same server payload."""
+        from tetra_tpu.umac import native_exec
+        if not native_exec.available():
+            pytest.skip("native library unavailable")
+        from tetra_tpu import receiver
+        fs = 400_000.0
+        u8, _ = make_wideband(fs)
+        # scan eats 1 s of samples before streaming; serve scan capture
+        # + the decode payload back to back
+        reps = -(-int(2 * fs) // len(u8))   # scan eats 1 s of samples
+        payload = np.concatenate([np.tile(u8, reps)[: int(2 * fs)], u8,
+                                  np.full(int(fs), 127, np.uint8)])
+        secs = len(u8) / 2 / fs
+
+        def run(plane):
+            srv = MockRtlTcp(payload)
+            srv.start()
+            mrx = receiver.main([
+                "--rtltcp", f"127.0.0.1:{srv.port}",
+                "--freq", "392500000", "--rate", str(fs),
+                "--carriers", "auto", "--secs", str(secs),
+                "--control-plane", plane,
+            ])
+            srv.join(timeout=5.0)
+            return mrx
+
+        nat = run("native")
+        py = run("python")
+        assert len(nat.carriers) == len(py.carriers) == 2
+        ids = sorted((rx.mcc, rx.mnc, rx.colour_code)
+                     for rx in nat.carriers)
+        assert ids == [(262, 42, 1), (901, 7, 5)]
+        for p, q in zip(py.carriers, nat.carriers):
+            assert (p.mcc, p.mnc, p.colour_code) == \
+                (q.mcc, q.mnc, q.colour_code)
+            assert q.stats.crc_ok > 0
+            assert (p.stats.crc_ok, p.stats.crc_wrong) == \
+                (q.stats.crc_ok, q.stats.crc_wrong)
+        err = capsys.readouterr().err
+        assert "confirmed carrier" in err
