@@ -304,16 +304,25 @@ def main():
             tcs.db = db
             tcs.mcc, tcs.mnc, tcs.cc = MCC, MNC, CCODE
             tcs.cn, tcs.la, tcs.cck_id, tcs.hn = CN, LA, CCK_ID, -1
-            pdu = np.array(testpdu.make_resource_pdu(
-                ssi=0x1234, sdu_bits=testpdu.make_bl_udata(
-                    testpdu.make_mle_cmce_dsetup()), fill=False))
-            pdu[4:6] = [0, 1]  # encryption_mode = 1
-            rsd = mac_pdu.decode_resource(pdu)
-            enc = np.array(pdu, np.uint8)
-            enc[:rsd.macpdu_length * 8], okx = decrypt_mac_element(
-                tcs, key, pdu[:rsd.macpdu_length * 8],
-                TdmaTime(tn=2, fn=2, mn=3), rsd.bit_len)
-            assert okx
+            # four slot-time variants so consecutive decrypts carry
+            # DIFFERENT IVs — the per-carrier keystream cache (which
+            # legitimately serves multi-element slots and voice halves)
+            # cannot serve cross-slot requests here
+            encs = []
+            for tn in range(1, 5):
+                pdu = np.array(testpdu.make_resource_pdu(
+                    ssi=0x1234, sdu_bits=testpdu.make_bl_udata(
+                        testpdu.make_mle_cmce_dsetup()), fill=False))
+                pdu[4:6] = [0, 1]  # encryption_mode = 1
+                rsd = mac_pdu.decode_resource(pdu)
+                enc = np.array(pdu, np.uint8)
+                enc[:rsd.macpdu_length * 8], okx = decrypt_mac_element(
+                    tcs, key, pdu[:rsd.macpdu_length * 8],
+                    TdmaTime(tn=tn, fn=2, mn=3), rsd.bit_len)
+                assert okx
+                encs.append(enc)
+            enc_all = np.concatenate(encs).astype(np.uint8)
+            enc_len = len(encs[0])
             cp2 = native_exec.NativeControlPlane(C_CP)
             cp2.set_keys(db)
             # bootstrap per-carrier crypto state through the walk: one
@@ -335,13 +344,15 @@ def main():
             N_ENC = 20000
             erecs = np.zeros((N_ENC, 9), np.int32)
             for i in range(N_ENC):
-                erecs[i] = (i % C_CP, LogicalChannel.SCH_F, 1, 0, 2, 2,
-                            3, 0, len(enc))
-            ev = cp2.process(enc, erecs)
+                tn = i % 4 + 1
+                erecs[i] = (i % C_CP, LogicalChannel.SCH_F, 1, 0, tn, 2,
+                            3, (tn - 1) * enc_len, enc_len)
+            ev = cp2.process(enc_all, erecs)
             from tetra_tpu.umac.native_exec import EV as _EV
             n_dec = int((ev["kind"] == _EV.TLSDU).sum())
             assert n_dec >= N_ENC, n_dec  # every slot decrypted+parsed
-            t_enc = _median_time(lambda: cp2.process(enc, erecs), reps=5)
+            t_enc = _median_time(lambda: cp2.process(enc_all, erecs),
+                                 reps=5)
             cp_enc_slots_per_s = N_ENC / t_enc
             cp2.close()
     except Exception:

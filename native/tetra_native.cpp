@@ -90,9 +90,41 @@ inline uint64_t iv_expand(uint32_t iv, uint32_t k)
     return (q >> 8) | (q << 56);
 }
 
+// Precomputed round tables: word_newbyte is a pure function of a
+// 16-bit state word (per variant and A/B LUT), and reorder_byte of one
+// byte — tabulating them (2 x 64K + 256 entries per KSG, ~390 KB
+// total, L2-resident) turns the 8-iteration bit loops inside every
+// round into single loads, ~10x on the keystream hot path.
+struct TeaLuts {
+    uint8_t nbA[65536];
+    uint8_t nbB[65536];
+    uint8_t re[256];
+};
+
+const TeaParams &params_for(int ksg);
+
+const TeaLuts &luts_for(int ksg)
+{
+    static TeaLuts L[3];
+    static bool done[3] = {false, false, false};
+    int k = (ksg >= 1 && ksg <= 3) ? ksg - 1 : 2;
+    if (!done[k]) {
+        const TeaParams &P = params_for(k + 1);
+        for (int w = 0; w < 65536; w++) {
+            L[k].nbA[w] = word_newbyte((uint16_t)w, P.lutA, P.variant);
+            L[k].nbB[w] = word_newbyte((uint16_t)w, P.lutB, P.variant);
+        }
+        for (int b = 0; b < 256; b++)
+            L[k].re[b] = reorder_byte((uint8_t)b, P.variant);
+        done[k] = true;
+    }
+    return L[k];
+}
+
 void tea_stream(const TeaParams &P, uint32_t iv, const uint8_t *eck,
                 int nbytes, uint8_t *out)
 {
+    const TeaLuts &L = luts_for(P.variant);
     uint64_t st = iv_expand(iv, P.iv_xor);
     uint32_t kr32 = 0;
     uint8_t kreg[10];
@@ -118,23 +150,23 @@ void tea_stream(const TeaParams &P, uint32_t iv, const uint8_t *eck,
             }
             uint8_t nb, mix;
             if (P.variant == 1) {
-                uint8_t dA = word_newbyte((uint16_t)(st >> 8), P.lutA, 1);
-                uint8_t dB = word_newbyte((uint16_t)(st >> 40), P.lutB, 1);
-                uint8_t r = reorder_byte((uint8_t)(st >> 32), 1);
+                uint8_t dA = L.nbA[(uint16_t)(st >> 8)];
+                uint8_t dB = L.nbB[(uint16_t)(st >> 40)];
+                uint8_t r = L.re[(uint8_t)(st >> 32)];
                 nb = (uint8_t)(dB ^ (uint8_t)(st >> 56) ^ r ^ fb);
                 mix = dA;
                 st = ((st << 8) ^ ((uint64_t)mix << 32)) | nb;
             } else if (P.variant == 2) {
-                uint8_t dA = word_newbyte((uint16_t)st, P.lutA, 2);
-                uint8_t dB = word_newbyte((uint16_t)(st >> 24), P.lutB, 2);
-                uint8_t r = reorder_byte((uint8_t)(st >> 40), 2);
+                uint8_t dA = L.nbA[(uint16_t)st];
+                uint8_t dB = L.nbB[(uint16_t)(st >> 24)];
+                uint8_t r = L.re[(uint8_t)(st >> 40)];
                 nb = (uint8_t)((uint8_t)(st >> 56) ^ (uint8_t)(st >> 16) ^ r ^ dA ^ fb);
                 mix = dB;
                 st = ((st << 8) ^ ((uint64_t)mix << 24)) | nb;
             } else {
-                uint8_t dA = word_newbyte((uint16_t)(st >> 8), P.lutA, 3);
-                uint8_t dB = word_newbyte((uint16_t)(st >> 40), P.lutB, 3);
-                uint8_t r = reorder_byte((uint8_t)(st >> 32), 3);
+                uint8_t dA = L.nbA[(uint16_t)(st >> 8)];
+                uint8_t dB = L.nbB[(uint16_t)(st >> 40)];
+                uint8_t r = L.re[(uint8_t)(st >> 32)];
                 nb = (uint8_t)((uint8_t)(st >> 56) ^ r ^ dA ^ fb);
                 mix = dB;
                 st = ((st << 8) ^ ((uint64_t)mix << 40)) | nb;

@@ -226,6 +226,13 @@ struct Carrier {
     int c_mcc = -1, c_mnc = -1, cck_id = -1, hn = -1;
     int la = -1, cn = -1, cc = -1;
     int net_idx = -1, cck_idx = -1;
+    // keystream cache: consecutive MAC elements of one slot (and the
+    // slot's voice halves) share (iv, key, ECK inputs); the reference
+    // regenerates the stream per element (tetra_crypto.c:211-252) —
+    // reusing the identical bytes is bit-exact and skips the KSG
+    uint32_t ks_iv = 0;
+    int ks_key = -1, ks_cn = -1, ks_la = -1, ks_cc = -1, ks_bytes_n = 0;
+    uint8_t ks_bytes[96];   // >= ceil((216 skip + 484) / 8)
 };
 
 struct NetRec { int mcc, mnc, ksg_type, security_class; };
@@ -342,15 +349,21 @@ bool gen_keystream(Ctx &cx, Carrier &car, int key_idx, int nbits,
     if (ksg < 1 || ksg > 3) return false;  // TEA1/2/3 only
     uint32_t iv = (uint32_t)((tn - 1) | (fn << 2) | (mn << 7)
                              | ((car.hn & 0x7FFF) << 13));
-    uint8_t eck[10];
-    tetra_tb5((uint32_t)(car.cn & 0xFFF), (uint32_t)(car.la & 0x3FFF),
-              (uint32_t)(car.cc & 0x3F), k.key, eck);
     int nbytes = (nbits + 7) / 8;
-    uint8_t buf[128];
-    if (nbytes > (int)sizeof(buf)) return false;  // slots are <=484 ks bits
-    tetra_tea_keystream_batch(ksg, &iv, eck, 1, nbytes, buf);
+    if (nbytes > (int)sizeof(car.ks_bytes)) return false;
+    if (!(car.ks_key == key_idx && car.ks_iv == iv
+          && car.ks_cn == car.cn && car.ks_la == car.la
+          && car.ks_cc == car.cc && car.ks_bytes_n >= nbytes)) {
+        uint8_t eck[10];
+        tetra_tb5((uint32_t)(car.cn & 0xFFF), (uint32_t)(car.la & 0x3FFF),
+                  (uint32_t)(car.cc & 0x3F), k.key, eck);
+        tetra_tea_keystream_batch(ksg, &iv, eck, 1, nbytes, car.ks_bytes);
+        car.ks_iv = iv; car.ks_key = key_idx;
+        car.ks_cn = car.cn; car.ks_la = car.la; car.ks_cc = car.cc;
+        car.ks_bytes_n = nbytes;
+    }
     for (int i = 0; i < nbits; i++)
-        out_bits[i] = (buf[i >> 3] >> (7 - (i & 7))) & 1;
+        out_bits[i] = (car.ks_bytes[i >> 3] >> (7 - (i & 7))) & 1;
     return true;
 }
 
@@ -889,9 +902,11 @@ void tetra_umac_set_keys(void *p, const int32_t *nets, int64_t n_nets,
         std::memcpy(k.key, keybytes + 10 * i, 10);
         cx.keys.push_back(k);
     }
-    for (Carrier &car : cx.carriers)
+    for (Carrier &car : cx.carriers) {
+        car.ks_key = -1; car.ks_bytes_n = 0;  // key bytes may differ
         if (car.c_mcc >= 0)
             update_current_network(cx, car, car.c_mcc, car.c_mnc);
+    }
 }
 
 // recs: n x 9 int32 = carrier, lchan, crc_ok, blk_num, tn, fn, mn,

@@ -327,3 +327,53 @@ class TestNativeDecryption:
         assert EV.FRAG_CONT in kinds
         assert EV.FRAG_END in kinds
         assert any(t[1] == EV.TLSDU and t[2] == 2 for t in got[0])
+
+
+class TestKeystreamCache:
+    def test_cache_invalidates_on_la_change(self, tmp_path):
+        """Two encrypted slots with the SAME TDMA time but a SYSINFO
+        LA change between them: the second ECK differs, so the native
+        plane's per-carrier keystream cache must regenerate (a stale
+        hit would decrypt slot 2 into garbage)."""
+        LA2 = 777
+        rng = np.random.default_rng(31)
+
+        def enc_slot(ssi, la):
+            pdu = np.array(testpdu.make_resource_pdu(
+                ssi=ssi, sdu_bits=testpdu.make_bl_udata(
+                    testpdu.make_mle_cmce_dsetup()), fill=False))
+            pdu[4:6] = [0, 1]
+            rsd = mac_pdu.decode_resource(pdu)
+            tcs, key = _tx_tcs()
+            tcs.la = la
+            enc = np.array(pdu)
+            enc[: rsd.macpdu_length * 8], ok = decrypt_mac_element(
+                tcs, key, pdu[: rsd.macpdu_length * 8],
+                TdmaTime(tn=2, fn=2, mn=3), rsd.bit_len)
+            assert ok
+            return enc.astype(np.int8)
+
+        def sb(la):
+            si = np.array(testpdu.make_sysinfo_pdu(
+                main_carrier=MAIN_CARRIER, la=la))
+            si[43] = 1
+            si[44:60] = uint_to_bits(CCK_ID, 16)
+            sync = testpdu.make_sync_pdu(cc=CC, tn=1, fn=2, mn=3,
+                                         mcc=MCC, mnc=MNC)
+            return np.asarray(tx.make_sync_burst(
+                sync, si, testpdu.make_access_assign_bits(),
+                jnp.uint32(INIT)), np.uint8)
+
+        # both enc slots sit at tn=2/fn=2/mn=3 (each sync re-declares
+        # the same time), with only LA differing
+        stream = np.concatenate([
+            rng.integers(0, 2, 113).astype(np.uint8),
+            sb(LA), sb(LA), _schf(enc_slot(0x801, LA)),
+            sb(LA2), _schf(enc_slot(0x802, LA2)),
+            _schf(make_null_schf()), _schf(make_null_schf())])
+        ks = tmp_path / "keys.txt"
+        ks.write_text(_keystore_text())
+        py, nat = _run_both(stream[None], str(ks))
+        got = _diff_events(py, nat, 1)
+        dsetups = [t for t in got[0] if t[1] == EV.TLSDU and t[2] == 2]
+        assert len(dsetups) == 2    # BOTH slots decrypted and parsed
