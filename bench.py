@@ -431,6 +431,21 @@ def main():
     except Exception:
         pass
 
+    # ---- stage 10: integrated end-to-end from ONE packed 4+4-bit
+    # WIDEBAND capture (1 byte/complex sample h2d), channelized on
+    # device via the Pallas PFB — the production RF input format ----
+    try:
+        mcw = bench_mc_e2e.run_wideband(n_car=512, n_frames=16,
+                                        n_chunks=4)
+        result["mc_e2e_wideband_realtime_carriers"] = \
+            mcw["realtime_carriers_e2e"]
+        result["mc_e2e_wideband_crc_ok"] = mcw["crc_ok"]
+        result["mc_e2e_wideband_crc_err"] = mcw["crc_err"]
+        result["mc_e2e_wideband_h2d_bytes_per_carrier_s"] = \
+            mcw["h2d_bytes_per_carrier_s"]
+    except Exception:
+        pass
+
     print(json.dumps(result))
 
 

@@ -376,3 +376,43 @@ class TestEncryptedVoice:
             assert enc_bytes == nat[c][0].read_bytes(), c
             # the keystream was actually applied
             assert enc_bytes != plain[c][0].read_bytes(), c
+
+
+class TestWidebandIq4:
+    def test_fft_synth_iq4_pfb_parity(self):
+        """Wideband-ingest path: FFT-synthesized multi-carrier capture,
+        packed 4+4-bit IQ (1 byte/sample on the h2d link), on-device
+        PFB channelization — both cells decode, and the native plane
+        matches the Python plane exactly on the same packed input."""
+        import pytest
+        from tetra_tpu.umac import native_exec
+        if not native_exec.available():
+            pytest.skip("native library unavailable")
+        from tetra_tpu.io import stream
+        n_chan = 8
+        bits_a = _capture_bits(262, 42, 1, 0x200, seed=1)
+        bits_b = _capture_bits(901, 7, 5, 0x300, seed=2)
+        n = min(len(bits_a), len(bits_b)) & ~1
+        bits = np.stack([bits_a[:n], bits_b[:n]])
+        base = dqpsk.modulate(bits, sps=2)
+        chans = [1, 6]
+        wide = channelizer.synthesize_wideband_fft(base, chans, n_chan)
+        packed = stream.quantize_iq4(wide.real * 0.5, wide.imag * 0.5)
+
+        def run(plane):
+            mrx = MultiCarrierReceiver([], fs=n_chan * 25e3,
+                                       pfb_channels=chans, n_chan=n_chan,
+                                       control_plane=plane)
+            half = len(packed) // 2
+            mrx.process_iq4(packed[:half], final=False)
+            mrx.process_iq4(packed[half:], final=True)
+            return mrx
+
+        nat, py = run("native"), run("python")
+        for rx, (mcc, mnc, cc) in zip(nat.carriers,
+                                      ((262, 42, 1), (901, 7, 5))):
+            assert (rx.mcc, rx.mnc, rx.colour_code) == (mcc, mnc, cc)
+            assert rx.stats.crc_ok > 0 and rx.stats.crc_wrong == 0
+        for p, q in zip(py.carriers, nat.carriers):
+            assert (p.stats.bursts, p.stats.crc_ok, p.stats.crc_wrong) \
+                == (q.stats.bursts, q.stats.crc_ok, q.stats.crc_wrong)

@@ -226,6 +226,39 @@ def channelize(iq, offsets_hz, fs: float, out_rate: float = DEMOD_RATE,
     return (out_r + 1j * out_i).astype(jnp.complex64)
 
 
+def synthesize_wideband_fft(basebands, channels, n_chan: int,
+                            in_rate: float = DEMOD_RATE,
+                            spacing: float = 25_000.0) -> np.ndarray:
+    """Host fixture generator, FFT form: per-carrier baseband [C, T_in]
+    at in_rate -> wideband capture [T_out] at n_chan*spacing, carrier c
+    centred on PFB channel channels[c].
+
+    O(T_out log T_out) instead of synthesize_wideband's O(C*T_out*taps)
+    — the only practical way to build hundreds-of-carrier captures. The
+    pi/4-DQPSK RRC spectrum (alpha 0.35, 18 ksym/s) occupies +-12.15
+    kHz, inside the +-spacing/2 window each channel keeps, so the
+    truncation is below the filter's own stopband. Circularity matches
+    a looped capture; decode parity vs the per-carrier path is pinned
+    in tests/test_rx_multi.py."""
+    basebands = np.asarray(basebands, np.complex64)
+    C, T_in = basebands.shape
+    fs = n_chan * spacing
+    dur = T_in / in_rate
+    T_out = int(round(dur * fs))
+    half = int(spacing / 2 * dur)          # bins kept per side
+    F = np.fft.fft(basebands, axis=1)      # bin b = freq b/dur
+    big = np.zeros(T_out, np.complex64)
+    for c in range(C):
+        k = int(channels[c]) % n_chan
+        centre = int(round(k * spacing * dur)) % T_out
+        pos = (centre + np.arange(half)) % T_out
+        neg = (centre - np.arange(1, half + 1)) % T_out
+        big[pos] += F[c, :half]
+        big[neg] += F[c, T_in - np.arange(1, half + 1)]
+    out = np.fft.ifft(big) * (T_out / T_in)
+    return out.astype(np.complex64)
+
+
 def synthesize_wideband(basebands, offsets_hz, fs: float,
                         in_rate: float = DEMOD_RATE) -> np.ndarray:
     """Host fixture generator: per-carrier baseband [C, T_in] at in_rate

@@ -348,6 +348,66 @@ def run_mixed(n_car=1024, n_frames=16, n_chunks=4, enc_frac=0.1,
     return res
 
 
+def run_wideband(n_car=512, n_frames=16, n_chunks=4):
+    """Timed end-to-end pass ingesting ONE packed 4+4-bit WIDEBAND
+    capture (1 byte per complex sample on the h2d link) and
+    channelizing on device via the Pallas PFB — the production input
+    format (reference whole-capture front end:
+    src/demod/osmosdr-tetra_demod_fft.py:64-96) instead of
+    pre-demodulated per-carrier slot streams. Records the h2d bytes
+    per carrier-second next to the per-carrier ingest formats."""
+    from tetra_tpu.phy import dqpsk, channelizer
+    from tetra_tpu.io import stream as stream_mod
+    rng = np.random.default_rng(0)
+    row = make_stream(rng, n_frames)
+    bits = np.tile(row[: len(row) & ~1], (n_car, 1))
+    for c in range(n_car):
+        bits[c] = np.roll(bits[c], c % 17)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        base = np.asarray(dqpsk.modulate(bits, sps=2))
+    wide = channelizer.synthesize_wideband_fft(base, np.arange(n_car),
+                                               n_car)
+    sigma = float(wide.real.std())
+    packed = stream_mod.quantize_iq4(wide.real / (3.0 * sigma),
+                                     wide.imag / (3.0 * sigma))
+    T_bits = bits.shape[1]
+    S = len(packed)
+    cuts = np.linspace(0, S, n_chunks + 1).astype(int)
+    chans = np.arange(n_car, dtype=np.int32)
+
+    def one_pass():
+        mc = MultiCarrierReceiver([], fs=25_000.0 * n_car,
+                                  pfb_channels=chans, n_chan=n_car,
+                                  control_plane="native")
+        for k in range(n_chunks):
+            stats = mc.process_iq4(packed[cuts[k]:cuts[k + 1]],
+                                   final=k == n_chunks - 1)
+        return mc, stats
+
+    mc, stats = one_pass()     # warm (compile)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        mc, stats = one_pass()
+        samples.append(time.perf_counter() - t0)
+    dt = float(np.median(samples))
+
+    crc_ok = sum(s.crc_ok for s in stats)
+    crc_bad = sum(s.crc_wrong for s in stats)
+    stream_s = T_bits / BITRATE
+    res = {
+        "n_carriers": n_car, "bits_per_carrier": T_bits,
+        "wideband_samples": S, "chunks": n_chunks,
+        "wall_s": round(dt, 3), "stream_s": round(stream_s, 3),
+        "crc_ok": int(crc_ok), "crc_err": int(crc_bad),
+        "h2d_bytes_per_carrier_s": round(S / stream_s / n_car, 1),
+        "realtime_carriers_e2e": round(n_car * stream_s / dt, 1),
+    }
+    assert crc_bad == 0 and crc_ok > 0, (crc_ok, crc_bad)
+    return res
+
+
 def main():
     n_car = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 8
