@@ -43,6 +43,9 @@ _NEG = np.float32(-1e6)
 N_SYM = 288                   # unified trellis length (= SCH/F)
 N_MOTHER = N_SYM * 4
 BOUNDARIES = (80, 144, 224)   # union of per-kind segment starts
+# CRC16-checked bit ranges of the decoded output (incl. the 16 CRC
+# bits): SB1, SB2, SCH/F, NDB1, NDB2 — the kinds' crc_ok flags
+CRC_SEGS = ((0, 76), (80, 140), (0, 284), (0, 140), (144, 140))
 _KS_CELL = 432                # cell keystream prefix needed by any kind
 _KS_FIXED_OFF = _KS_CELL      # BSCH keystream region in the ks vector
 _KS_PAD = _KS_CELL + 120      # zero pad position
@@ -194,9 +197,12 @@ def _decode_segmented_auto(soft, rmask):
                                    tile_b=tile)
 
 
-def assemble_soft(slots, inits, kinds, soft_input: bool = False):
-    """Kind-masked FEC assembly: slots [..., 510] (+ broadcastable
-    scrambling codes + kinds) -> (soft [N, 1152], rm [N, 3], ks_cell).
+def assemble_parts(slots, inits, kinds, soft_input: bool = False):
+    """Kind-masked FEC assembly inputs: slots [..., 510] (+
+    broadcastable scrambling codes + kinds) -> (x [N, 3W] descrambled
+    sign planes, P [3W, 1152] numpy map, dtype, rm [N, 3], ks_cell);
+    soft = x @ P (assemble_soft, or fused into the Pallas kernel's
+    prologue by decode_slots_fused's TPU path).
 
     GATHER-FREE per slot: the descramble is an XOR against per-kind
     keystream PLANES indexed by slot position (built gather+scatter on
@@ -252,8 +258,17 @@ def assemble_soft(slots, inits, kinds, soft_input: bool = False):
             sgn = jnp.where(mask, 1 - 2 * (src ^ plane).astype(jnp.int8),
                             0).astype(dt)
         parts.append(jnp.broadcast_to(sgn, batch + sgn.shape[-1:]))
-    P_all = jnp.asarray(np.concatenate(P2, axis=0) if one == 127 else
-                        (np.concatenate(P2, axis=0) != 0), dt)  # [3W, 1152]
+    P_np = (np.concatenate(P2, axis=0) if one == 127 else
+            (np.concatenate(P2, axis=0) != 0))              # [3W, 1152]
+    rm = jnp.take(jnp.asarray(rmask_t), k, axis=0).reshape(N, 3)
+    x = jnp.concatenate(parts, axis=-1).reshape(N, -1)
+    return x, P_np, dt, rm, ks_cell
+
+
+def assemble_soft(slots, inits, kinds, soft_input: bool = False):
+    """assemble_parts + the P matmul: (soft [N, 1152], rm, ks_cell)."""
+    x, P_np, dt, rm, ks_cell = assemble_parts(slots, inits, kinds,
+                                              soft_input=soft_input)
     # int8 mode: P one-hot rows -> each output is ONE {0, ±1} product,
     # exact in an s8 x s8 -> s8 MXU pass, consumed natively by the
     # int8 radix-16 Viterbi kernel (half the transpose/VMEM traffic of
@@ -262,9 +277,8 @@ def assemble_soft(slots, inits, kinds, soft_input: bool = False):
     out_dt = (jnp.int8 if dt == jnp.int8 else
               jnp.float32 if (soft_input or dt == jnp.float32)
               else jnp.bfloat16)
-    soft = jnp.dot(jnp.concatenate(parts, axis=-1).reshape(N, -1), P_all,
+    soft = jnp.dot(x, jnp.asarray(P_np, dt),
                    preferred_element_type=out_dt)
-    rm = jnp.take(jnp.asarray(rmask_t), k, axis=0).reshape(N, 3)
     return soft, rm, ks_cell
 
 
@@ -294,23 +308,36 @@ def decode_slots_fused(slots, inits, kinds, soft_input: bool = False):
     k = jnp.clip(kinds_f, 0, 2)
     _, _, _, _, bbk_pidx, _ = _maps()
 
-    soft, rm, ks_cell = assemble_soft(slots, inits, kinds,
-                                      soft_input=soft_input)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu and not soft_input:
+        # one kernel pass: assembly prologue + segmented Viterbi + CRC
+        # epilogue (the [N, 1152] soft tensor and the five CRC matmul
+        # inputs never exist in HBM)
+        from tetra_tpu.ops.viterbi_pallas import decode_assembled_pallas
+        x, P_np, _, rm, ks_cell = assemble_parts(slots, inits, kinds)
+        bits, okf = decode_assembled_pallas(
+            x.astype(jnp.int8), rm,
+            np.ascontiguousarray(P_np.T.astype(np.int8)),
+            N_SYM, BOUNDARIES, CRC_SEGS, tile_b=1024, batch_major=True)
+        oks = [okf[:, i] != 0 for i in range(len(CRC_SEGS))]
+    else:
+        soft, rm, ks_cell = assemble_soft(slots, inits, kinds,
+                                          soft_input=soft_input)
+        bits = _decode_segmented_auto(soft, rm)                # [N, 288]
+        oks = [crc.crc16_check(bits[:, off:off + ln])
+               for off, ln in CRC_SEGS]
     ks30 = jnp.broadcast_to(
         ks_cell[..., :30], batch + (30,)).reshape(N, 30)
 
-    bits = _decode_segmented_auto(soft, rm)                    # [N, 288]
-
-    def block(t2, n1):
-        ok = crc.crc16_check(t2[..., : n1 + 16])
+    def block(t2, n1, ok):
         return BlockResult(t2[..., :n1].reshape(*batch, n1),
                            ok.reshape(batch), t2.reshape(*batch, t2.shape[-1]))
 
-    sb1 = block(bits[:, :80], 60)
-    sb2 = block(bits[:, 80:224], 124)
-    schf = block(bits, 268)
-    ndb1 = block(bits[:, :144], 124)
-    ndb2 = block(bits[:, 144:288], 124)
+    sb1 = block(bits[:, :80], 60, oks[0])
+    sb2 = block(bits[:, 80:224], 124, oks[1])
+    schf = block(bits, 268, oks[2])
+    ndb1 = block(bits[:, :144], 124, oks[3])
+    ndb2 = block(bits[:, 144:288], 124, oks[4])
 
     # broadcast block: kind-selected position, fresh cell keystream,
     # reference copy-through semantics (tetra_lower_mac.c:268-271);

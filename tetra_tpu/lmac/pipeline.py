@@ -61,6 +61,23 @@ def _decode_fec(kind: str, type5, scramb_init) -> BlockResult:
     n345, n2, n1, ia, _ = C.BLOCK_PARAMS[kind]
     assert type5.shape[-1] == n345, (kind, type5.shape)
     type4 = scramble.scramb_bits(scramb_init, type5)
+    if jax.default_backend() in ("tpu", "axon") and n2 % 4 == 0:
+        # single fused kernel pass: the deinterleave/depuncture spread
+        # runs as the kernel's assembly prologue and the CRC16 check as
+        # its epilogue — the [B, n2*4] soft tensor never exists in HBM
+        # (ops/viterbi_pallas.py decode_assembled_pallas)
+        from tetra_tpu.ops.viterbi_pallas import decode_assembled_pallas
+        batch = type4.shape[:-1]
+        N = int(np.prod(batch)) if batch else 1
+        sgn = (1 - 2 * type4.astype(jnp.int8)).reshape(N, n345)
+        pmat = np.ascontiguousarray(
+            (_fec_matrix(kind).T != 0).astype(np.int8))
+        bits, ok = decode_assembled_pallas(
+            sgn, jnp.zeros((N, 0), jnp.float32), pmat,
+            n2, (), ((0, n1 + 16),), tile_b=1024, batch_major=True)
+        type2 = bits.reshape(*batch, n2)
+        return BlockResult(type2[..., :n1],
+                           (ok[:, 0] != 0).reshape(batch), type2)
     dt = _mm_dtype()
     sgn = (1 - 2 * type4.astype(jnp.int8)).astype(dt)
     mother = jnp.dot(sgn, jnp.asarray(_fec_matrix(kind), dt),

@@ -25,7 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 from tetra_tpu.constants import CONV_GENERATORS_CCH
 from tetra_tpu.ops.viterbi import trellis_signs, _P0, _P1, _BIT
 
-__all__ = ["decode_pallas", "decode_segmented_pallas"]
+__all__ = ["decode_pallas", "decode_segmented_pallas",
+           "decode_assembled_pallas"]
 
 _NEG = np.float32(-1e6)  # large enough to exclude invalid paths, small enough that f32 adds of ±127 stay exact
 
@@ -392,6 +393,227 @@ def _make_segmented_kernel16(n_sym: int, n_out: int, tile_b: int,
                 onehot = bstate_ref[k - 1] * r + onehot * (1.0 - r)
 
     return kernel
+
+
+def _make_fused_kernel16(n_sym: int, n_out: int, tile_b: int,
+                         boundaries: tuple, n_seg: int,
+                         batch_major: bool = False):
+    """Radix-16 int8 kernel with the FEC assembly fused as a prologue
+    and the CRC16 checks as an epilogue: the [B, n_sym*N] soft tensor
+    never exists in HBM, and neither do the per-segment CRC matmul
+    inputs — the only HBM traffic per slot is the descrambled sign
+    input, the decoded bits and n_seg ok flags.
+
+    Prologue: soft = pmat [n_sym*N, K] @ x [K, tile] (pmat rows are the
+    one-hot slot-position -> mother-position map, so every product is a
+    plain {0, ±1} copy, exact in s8; kernel row order = plain mother
+    order, which is exactly the [T/4, 4N] quad-step layout flattened).
+
+    Epilogue: crc = crcM [16*n_seg, n_sym] @ bits, parity per row, each
+    segment ok iff all 16 rows match its (affine-adjusted) target —
+    one small MXU pass over the VMEM-resident decoded bits.
+
+    ACS + traceback are the int8 packed path of
+    _make_segmented_kernel16, decisions bit-identical."""
+    assert n_sym % 4 == 0 and all(b % 4 == 0 for b in boundaries)
+    segs = tuple(s // 4 for s in (0,) + tuple(boundaries) + (n_sym,))
+    nb = len(boundaries)
+
+    def kernel(x_ref, pmat_ref, sgn_ref, rm_ref, crcM_ref, crcT_ref,
+               bits_ref, ok_ref, soft_ref, dec_ref, metric_ref,
+               bstate_ref):
+        # ---- prologue: assembly matmul into VMEM scratch (s8 x s8
+        # with s32 accumulate — Mosaic requires a 32-bit acc — then
+        # narrowed back; every product is a plain {0, ±1} copy).
+        # batch_major feeds x as [tile, K] and contracts with
+        # transpose_rhs inside the MXU, so the host never pays an
+        # int8 [B, K] -> [K, B] transpose ----
+        if batch_major:
+            pre = jax.lax.dot_general(
+                pmat_ref[:], x_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.int8)
+        else:
+            pre = jnp.dot(pmat_ref[:], x_ref[:],
+                          preferred_element_type=jnp.int32
+                          ).astype(jnp.int8)
+        # store in the ACS loop's [T/4, 4N, tile] layout (time untiled)
+        # so per-step slices are aligned loads, not sublane relayouts
+        soft_ref[:] = pre.reshape(n_sym // 4, 4 * n_out, tile_b)
+
+        neg = jnp.int32(-(2 ** 27))
+        sgn = sgn_ref[:]            # [256, 4N] int8 (x16 prescale)
+        row = jax.lax.broadcasted_iota(jnp.int32, (16, tile_b), 0)
+        init = jnp.where(row == 0, jnp.int32(0), neg)
+        metric_ref[:] = init
+        rev_row_i = (jnp.bitwise_or(
+            jnp.bitwise_or((row & 1) << 3, (row & 2) << 1),
+            jnp.bitwise_or((row & 4) >> 1, (row & 8) >> 3)))    # [16, tile]
+
+        def acs_step(t, _):
+            sym4 = soft_ref[pl.ds(t, 1)][0]                      # [4N, tile]
+            bm = jnp.dot(sgn, sym4, preferred_element_type=jnp.int32)
+            m = metric_ref[:]
+            c = (bm.reshape(16, 16, tile_b)
+                 + (m + (15 - rev_row_i))[:, None, :])           # [p, ns, t]
+            best = jnp.max(c, axis=0)                            # [16, tile]
+            dec_ref[pl.ds(t, 1), :, :] = \
+                (15 - (best & 15)).astype(jnp.int8)[None]
+            metric_ref[:] = best & -16
+            return 0
+
+        def onehot_best(m):
+            best = jnp.max(m, axis=0, keepdims=True)
+            min_rank = jnp.min(jnp.where(m == best, row, 16), axis=0,
+                               keepdims=True)
+            return (row == min_rank).astype(jnp.float32)
+
+        for k in range(nb + 1):
+            if k > 0:
+                m = metric_ref[:]
+                bstate_ref[k - 1] = onehot_best(m)
+                r = rm_ref[pl.ds(k - 1, 1)]
+                metric_ref[:] = jnp.where(r > 0.0, init, m)
+            jax.lax.fori_loop(segs[k], segs[k + 1], acs_step, 0)
+
+        onehot = onehot_best(metric_ref[:])
+        rowf = row.astype(jnp.float32)
+        rev_row = rev_row_i.astype(jnp.float32)
+
+        def tb_step(t, onehot):
+            s = jnp.sum(onehot * rowf, axis=0, keepdims=True)   # [1, tile]
+            si = s.astype(jnp.int32)
+            bits4 = jnp.concatenate(
+                [((si >> 3) & 1)[None], ((si >> 2) & 1)[None],
+                 ((si >> 1) & 1)[None], (si & 1)[None]],
+                axis=0).astype(jnp.int8)                         # [4, 1, tile]
+            bits_ref[pl.ds(4 * t, 4), :, :] = bits4
+            decj = dec_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)
+            jpath = jnp.sum(onehot * decj, axis=0, keepdims=True)
+            return (rev_row == jpath).astype(jnp.float32)
+
+        for k in range(nb, -1, -1):
+            t0, t1 = segs[k], segs[k + 1]
+            onehot = jax.lax.fori_loop(
+                0, t1 - t0, lambda i, oh: tb_step(t1 - 1 - i, oh), onehot)
+            if k > 0:
+                r = rm_ref[pl.ds(k - 1, 1)]
+                onehot = bstate_ref[k - 1] * r + onehot * (1.0 - r)
+
+        # ---- epilogue: per-segment CRC16 checks ----
+        bitsv = bits_ref[:, 0, :]                     # [n_sym, tile] int8
+        crc = jnp.dot(crcM_ref[:], bitsv,
+                      preferred_element_type=jnp.int32)  # [16*n_seg, tile]
+        mism = (crc & 1) ^ crcT_ref[:].astype(jnp.int32)
+        bad = jnp.sum(mism.reshape(n_seg, 16, tile_b), axis=1)
+        # 1 - min(bad, 1) instead of (bad == 0): Mosaic rejects the
+        # narrow [n_seg, tile] i1 compare's relayout
+        ok_ref[:] = (1 - jnp.minimum(bad, 1)).astype(jnp.int8)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_sym", "boundaries",
+                                             "crc_segs", "generators",
+                                             "tile_b", "interpret",
+                                             "batch_major"))
+def decode_assembled_pallas(xT, rmask, pmat, n_sym: int, boundaries: tuple,
+                            crc_segs: tuple,
+                            generators=CONV_GENERATORS_CCH,
+                            tile_b: int = 1024, interpret: bool = False,
+                            batch_major: bool = False):
+    """Assembly + segmented Viterbi + CRC16 in ONE kernel pass.
+
+    xT [K, B] int8: descrambled sign values ({0, ±1}), batch in lanes.
+    pmat [n_sym*N, K] int8 {0, 1}: one-hot slot->mother map (soft =
+    pmat @ xT), rows in plain mother-bit order.
+    rmask [B, len(boundaries)]: per-lane trellis restarts as in
+    decode_segmented_pallas.
+    crc_segs: tuple of (offset, length) bit ranges of the decoded
+    output to CRC16-check (length INCLUDES the 16 CRC bits).
+
+    Returns (bits [B, n_sym] int8, ok [B, len(crc_segs)] int8) with
+    bits bit-identical to decode_segmented_pallas on pmat-assembled
+    soft input and ok equal to ops.crc.crc16_check per segment.
+    batch_major=True takes x as [B, K] instead (the MXU contracts with
+    transpose_rhs, so no host-side int8 transpose is needed)."""
+    from tetra_tpu.ops import crc as crc_mod
+    generators = tuple(map(tuple, generators))
+    n_out = len(generators)
+    nb = len(boundaries)
+    n_seg = len(crc_segs)
+    if batch_major:
+        B, K = xT.shape
+    else:
+        K, B = xT.shape
+    assert xT.dtype == jnp.int8 and n_sym % 4 == 0
+    assert all(b % 4 == 0 for b in boundaries)
+    assert pmat.shape == (n_sym * n_out, K)
+
+    # stacked CRC check matrices + affine targets: segment k ok iff
+    # (bits @ M)&1 == C ^ bits16(TETRA_CRC_OK) over its 16 rows
+    crcM = np.zeros((16 * n_seg, n_sym), np.int8)
+    crcT = np.zeros((16 * n_seg, 1), np.int8)
+    okbits = [(crc_mod.TETRA_CRC_OK >> (15 - i)) & 1 for i in range(16)]
+    for s, (off, ln) in enumerate(crc_segs):
+        M, Cc = crc_mod.crc16_matrix(ln)
+        crcM[16 * s:16 * (s + 1), off:off + ln] = M.T
+        for i in range(16):
+            crcT[16 * s + i, 0] = Cc[i] ^ okbits[i]
+
+    tile = min(tile_b, B)
+    pad = (-B) % tile
+    if pad:
+        xT = jnp.pad(xT, ((0, pad), (0, 0)) if batch_major
+                     else ((0, 0), (0, pad)))
+        rmask = jnp.pad(rmask, ((0, pad), (0, 0)))
+    Bp = xT.shape[0] if batch_major else xT.shape[1]
+    rm_t = rmask.astype(jnp.float32).reshape(Bp, nb).T if nb else \
+        jnp.zeros((1, Bp), jnp.float32)
+
+    sgn16, _ = _tables16(generators)
+    kernel = _make_fused_kernel16(n_sym, n_out, tile, tuple(boundaries),
+                                  n_seg, batch_major=batch_major)
+    x_spec = (pl.BlockSpec((tile, K), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM) if batch_major else
+              pl.BlockSpec((K, tile), lambda i: (0, i),
+                           memory_space=pltpu.VMEM))
+    bits, ok = pl.pallas_call(
+        kernel,
+        grid=(Bp // tile,),
+        in_specs=[
+            x_spec,
+            pl.BlockSpec((n_sym * n_out, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 4 * n_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(nb, 1), tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * n_seg, n_sym), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * n_seg, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_sym, 1, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_seg, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_sym, 1, Bp), jnp.int8),
+            jax.ShapeDtypeStruct((n_seg, Bp), jnp.int8),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_sym // 4, 4 * n_out, tile), jnp.int8),
+            pltpu.VMEM((n_sym // 4, 16, tile), jnp.int8),
+            pltpu.VMEM((16, tile), jnp.int32),
+            pltpu.VMEM((max(nb, 1), 16, tile), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xT, jnp.asarray(pmat, jnp.int8),
+      jnp.asarray(sgn16 * 16.0).astype(jnp.int8), rm_t,
+      jnp.asarray(crcM), jnp.asarray(crcT))
+    return bits[:, 0, :].T[:B], ok.T[:B]
 
 
 def _make_segmented_kernel4(n_sym: int, n_out: int, tile_b: int,
