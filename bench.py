@@ -76,7 +76,10 @@ def main():
     # fixed ~25 ms per-call overhead: at 65536 the FEC stage's compute
     # delta was ~2 ms (noise-limited, r02 spread ±30%); 131072 doubles
     # the signal
-    B_SMALL, B_BIG = 16384, 131072
+    # the r4 fused kernel decodes 131072 slots in ~1.7 ms — below the
+    # tunnel's per-call jitter — so the differential needs a ~12 ms
+    # compute delta to stay sign-stable
+    B_SMALL, B_BIG = 131072, 1048576
     init = scramb_get_init(262, 42, 1)
 
     # fixture generation on the host CPU backend (eager TX is many tiny
@@ -173,7 +176,7 @@ def main():
 
     wide_times = {}
     rng2 = np.random.default_rng(1)
-    for n_slots in (8, 40):
+    for n_slots in (8, 168):
         need_36k = 64 + n_slots * 510 + 64
         m_chan = int(need_36k * 50_000.0 / 36_000.0) + 80
         T_wide = (m_chan + 2 * 16) * (N_CHAN // 2)
@@ -183,8 +186,8 @@ def main():
         step_w = wide_step_factory(n_slots)
         wide_times[n_slots] = (_median_time(lambda: int(step_w(wre, wim, idd))),
                                T_wide)
-    d_wide = wide_times[40][1] - wide_times[8][1]
-    wide_samples_per_s = d_wide / (wide_times[40][0] - wide_times[8][0])
+    d_wide = wide_times[168][1] - wide_times[8][1]
+    wide_samples_per_s = d_wide / (wide_times[168][0] - wide_times[8][0])
     wide_carriers = wide_samples_per_s / FS_WIDE * N_CHAN
 
     # ---- stage 6: streaming ingest (int8 IQ, double-buffered) ----
@@ -344,7 +347,11 @@ def main():
             N_ENC = 20000
             erecs = np.zeros((N_ENC, 9), np.int32)
             for i in range(N_ENC):
-                tn = i % 4 + 1
+                # vary tn per VISIT of each carrier (i // C_CP), not per
+                # record index — C_CP divides 4, so an i%4 cycle would
+                # pin every carrier to one tn and the per-carrier
+                # keystream cache would serve every decrypt
+                tn = (i // C_CP) % 4 + 1
                 erecs[i] = (i % C_CP, LogicalChannel.SCH_F, 1, 0, tn, 2,
                             3, (tn - 1) * enc_len, enc_len)
             ev = cp2.process(enc_all, erecs)

@@ -409,6 +409,19 @@ class TestWidebandIq4:
             return mrx
 
         nat, py = run("native"), run("python")
+        # the int8 interleaved format (full-occupancy scale) decodes
+        # identically through the same chain
+        iq8 = np.empty(len(wide) * 2, np.int8)
+        iq8[0::2] = np.clip(np.round(wide.real * 0.5 * 127), -127, 127)
+        iq8[1::2] = np.clip(np.round(wide.imag * 0.5 * 127), -127, 127)
+        m8 = MultiCarrierReceiver([], fs=n_chan * 25e3,
+                                  pfb_channels=chans, n_chan=n_chan,
+                                  control_plane="native")
+        m8.process_iq8(iq8, scale=1.0 / (0.5 * 127))
+        for rx, (mcc, mnc, cc) in zip(m8.carriers,
+                                      ((262, 42, 1), (901, 7, 5))):
+            assert (rx.mcc, rx.mnc, rx.colour_code) == (mcc, mnc, cc)
+            assert rx.stats.crc_ok > 0 and rx.stats.crc_wrong == 0
         for rx, (mcc, mnc, cc) in zip(nat.carriers,
                                       ((262, 42, 1), (901, 7, 5))):
             assert (rx.mcc, rx.mnc, rx.colour_code) == (mcc, mnc, cc)
@@ -416,3 +429,47 @@ class TestWidebandIq4:
         for p, q in zip(py.carriers, nat.carriers):
             assert (p.stats.bursts, p.stats.crc_ok, p.stats.crc_wrong) \
                 == (q.stats.bursts, q.stats.crc_ok, q.stats.crc_wrong)
+
+    def test_overlap_save_streaming_bit_exact(self):
+        """Chunked wideband ingest must be BIT-EXACT vs a single-shot
+        run: the PFB/resampler/demod filter state is re-fed through the
+        hop-aligned overlap, so chunk boundaries cost no slots (without
+        it every boundary forces a relock)."""
+        import pytest
+        from tetra_tpu.umac import native_exec
+        if not native_exec.available():
+            pytest.skip("native library unavailable")
+        n_chan = 8
+        bits_a = _capture_bits(262, 42, 1, 0x200, seed=1)
+        bits_b = _capture_bits(901, 7, 5, 0x300, seed=2)
+        n = min(len(bits_a), len(bits_b)) & ~1
+        base = dqpsk.modulate(np.stack([bits_a[:n], bits_b[:n]]), sps=2)
+        chans = [1, 6]
+        wide = channelizer.synthesize_wideband_fft(base, chans, n_chan)
+        q = 127.0 / (6 * wide.real.std())
+        iq8 = np.empty(2 * len(wide), np.int8)
+        iq8[0::2] = np.clip(np.round(wide.real * q), -127, 127)
+        iq8[1::2] = np.clip(np.round(wide.imag * q), -127, 127)
+
+        def run(cuts):
+            got = []
+            mrx = MultiCarrierReceiver([], fs=n_chan * 25e3,
+                                       pfb_channels=chans, n_chan=n_chan,
+                                       control_plane="native")
+            orig = mrx.process_bits
+            mrx.process_bits = lambda b, final=True: (
+                got.append(np.array(b)), orig(b, final=final))[1]
+            for i in range(len(cuts) - 1):
+                mrx.process_iq8(iq8[2 * cuts[i]: 2 * cuts[i + 1]],
+                                final=i == len(cuts) - 2)
+            return (np.concatenate([g for g in got if g.size], axis=1),
+                    [(r.stats.crc_ok, r.stats.crc_wrong)
+                     for r in mrx.carriers])
+
+        S = len(wide)
+        one_bits, one_stats = run([0, S])
+        assert all(ok > 0 and bad == 0 for ok, bad in one_stats)
+        for cuts in ([0, S // 2, S], [0, 5000, 5100, S // 3, S]):
+            m_bits, m_stats = run(cuts)
+            assert np.array_equal(one_bits, m_bits), cuts
+            assert one_stats == m_stats, cuts

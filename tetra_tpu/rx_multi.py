@@ -135,6 +135,23 @@ class MultiCarrierReceiver:
         bits = np.asarray(dqpsk.demodulate_hard_ri(out_r, out_i, sps=self.sps))
         return self.process_bits(bits, final=final)
 
+    def process_iq8(self, iq8, final: bool = True,
+                    scale: float = 1.0) -> list[RxStats]:
+        """One chunk of interleaved int8 wideband IQ ([I0, Q0, I1, Q1,
+        ...], TWO bytes per complex sample) through the full chain.
+
+        The byte-per-complex-sample iq4 format clips a fully-loaded
+        composite above ~128 active 25 kHz channels (Gaussian PAPR vs
+        15 levels — measured in tools/bench_mc_e2e.py run_wideband's
+        development); int8 keeps ~37 dB at a 6-sigma backoff and still
+        carries only 50 kB/s per carrier at full occupancy."""
+        def to_ri(raw):
+            arr = jnp.asarray(raw)
+            return (arr[0::2].astype(jnp.float32) * np.float32(scale),
+                    arr[1::2].astype(jnp.float32) * np.float32(scale))
+        return self._wideband_stream(np.asarray(iq8, np.int8), 2, to_ri,
+                                     final)
+
     def process_iq4(self, packed_u8, final: bool = True) -> list[RxStats]:
         """One chunk of packed 4+4-bit wideband IQ (io.stream
         quantize_iq4 format, ONE byte per complex sample) through the
@@ -143,9 +160,16 @@ class MultiCarrierReceiver:
         The h2d link carries 1 byte per wideband sample — with N
         carriers at 25 kHz spacing that is 25 kB/s per carrier, vs 72
         (planar int8 sps=2 IQ) or 36 (packed 4-bit per-carrier IQ) for
-        the per-carrier ingest formats."""
+        the per-carrier ingest formats. Suitable up to ~128 active
+        channels; fully-loaded wide spans should use process_iq8."""
         from tetra_tpu.io import stream
-        re, im = stream.dequantize_iq4(jnp.asarray(packed_u8))
+
+        def to_ri(raw):
+            return stream.dequantize_iq4(jnp.asarray(raw))
+        return self._wideband_stream(np.asarray(packed_u8, np.uint8), 1,
+                                     to_ri, final)
+
+    def _demod_ri(self, re, im) -> np.ndarray:
         if self.pfb_channels is not None:
             from tetra_tpu.phy import pfb
             out_r, out_i = pfb.pfb_to_demod_rate_ri(
@@ -154,8 +178,67 @@ class MultiCarrierReceiver:
         else:
             out_r, out_i = channelizer.channelize_ri(
                 re, im, jnp.asarray(self.offsets), fs=self.fs)
-        bits = np.asarray(dqpsk.demodulate_hard_ri(out_r, out_i,
+        return np.asarray(dqpsk.demodulate_hard_ri(out_r, out_i,
                                                    sps=self.sps))
+
+    def _wideband_stream(self, raw, k: int, to_ri, final: bool):
+        """Overlap-save streaming for the PFB front end: chunk
+        boundaries would otherwise discard the channelizer/resampler/
+        demod filter state and cost every carrier ~a slot per chunk
+        (lock loss + re-acquisition).
+
+        Each continuation call re-feeds the last W raw samples; chunks
+        are consumed in BLOCK-aligned quanta (BLOCK = 25*n_chan
+        samples = 50 PFB hops = exactly 36 demod bits per carrier at
+        the 50k->36k resampler's 18/25 phase period), so the valid
+        region of the per-call output equals the continuous stream's
+        bits; the warmup's bit count is measured once on a zero
+        capture. raw: 1-D array with k elements per complex sample.
+
+        The mixer-bank path (offsets without pfb_channels) keeps the
+        stateless per-call behaviour."""
+        if self.pfb_channels is None:
+            re, im = to_ri(raw)
+            return self.process_bits(self._demod_ri(re, im), final=final)
+        n = self.n_chan
+        BLOCK = 25 * n
+        W = 2 * BLOCK
+        if not hasattr(self, "_wb_rem"):
+            self._wb_rem = raw[:0]
+            self._wb_hist = None
+        data = np.concatenate([self._wb_rem, raw])
+        total = len(data) // k
+        usable = (total // BLOCK) * BLOCK
+        if final:
+            usable = total
+        if usable == 0 or (self._wb_hist is None and usable < W
+                           and not final):
+            # not enough for the first aligned batch yet: stash
+            self._wb_rem = data
+            if final:
+                return self.process_bits(
+                    np.zeros((len(self.carriers), 0), np.uint8),
+                    final=True)
+            return [rx.stats for rx in self.carriers]
+        self._wb_rem = data[usable * k:]
+        chunk = data[: usable * k]
+        if self._wb_hist is None:
+            bits = self._demod_ri(*to_ri(chunk))
+            if usable % BLOCK == 0:
+                # bits(L) is affine on BLOCK-aligned lengths with slope
+                # 36/BLOCK, so the first call yields G(W) — the exact
+                # per-carrier bit count every continuation must drop —
+                # with no probe run: G(W) = L0 - 36*(usable0 - W)/BLOCK
+                self._wb_g = bits.shape[1] - 36 * (usable // BLOCK - 2)
+        else:
+            feed = np.concatenate([self._wb_hist, chunk])
+            bits = self._demod_ri(*to_ri(feed))
+            keep = bits.shape[1] - self._wb_g
+            bits = bits[:, bits.shape[1] - max(keep, 0):]
+        hist_src = (chunk if len(chunk) >= W * k else
+                    np.concatenate([self._wb_hist if self._wb_hist is
+                                    not None else chunk[:0], chunk]))
+        self._wb_hist = hist_src[-W * k:]
         return self.process_bits(bits, final=final)
 
     def process_bits(self, bits, final: bool = True) -> list[RxStats]:
