@@ -397,7 +397,7 @@ def _make_segmented_kernel16(n_sym: int, n_out: int, tile_b: int,
 
 def _make_fused_kernel16(n_sym: int, n_out: int, tile_b: int,
                          boundaries: tuple, n_seg: int,
-                         batch_major: bool = False):
+                         batch_major: bool = False, ilp: int = 1):
     """Radix-16 int8 kernel with the FEC assembly fused as a prologue
     and the CRC16 checks as an epilogue: the [B, n_sym*N] soft tensor
     never exists in HBM, and neither do the per-segment CRC matmul
@@ -414,10 +414,19 @@ def _make_fused_kernel16(n_sym: int, n_out: int, tile_b: int,
     one small MXU pass over the VMEM-resident decoded bits.
 
     ACS + traceback are the int8 packed path of
-    _make_segmented_kernel16, decisions bit-identical."""
+    _make_segmented_kernel16, decisions bit-identical.
+
+    ilp > 1 splits the tile's lanes into `ilp` independent groups and
+    advances ALL of them inside each serial iteration: the ACS loop is
+    latency-bound (each iteration is a short dot -> add -> max -> store
+    dependency chain; measured ~0.25 us regardless of lane width), so
+    interleaving independent chains lets the MXU/VPU pipeline fill —
+    near-linear throughput in ilp until issue bandwidth binds."""
     assert n_sym % 4 == 0 and all(b % 4 == 0 for b in boundaries)
+    assert tile_b % ilp == 0 and (ilp == 1 or (tile_b // ilp) % 128 == 0)
     segs = tuple(s // 4 for s in (0,) + tuple(boundaries) + (n_sym,))
     nb = len(boundaries)
+    H = tile_b // ilp
 
     def kernel(x_ref, pmat_ref, sgn_ref, rm_ref, crcM_ref, crcT_ref,
                bits_ref, ok_ref, soft_ref, dec_ref, metric_ref,
@@ -445,21 +454,27 @@ def _make_fused_kernel16(n_sym: int, n_out: int, tile_b: int,
         row = jax.lax.broadcasted_iota(jnp.int32, (16, tile_b), 0)
         init = jnp.where(row == 0, jnp.int32(0), neg)
         metric_ref[:] = init
+        rowh = jax.lax.broadcasted_iota(jnp.int32, (16, H), 0)
         rev_row_i = (jnp.bitwise_or(
-            jnp.bitwise_or((row & 1) << 3, (row & 2) << 1),
-            jnp.bitwise_or((row & 4) >> 1, (row & 8) >> 3)))    # [16, tile]
+            jnp.bitwise_or((rowh & 1) << 3, (rowh & 2) << 1),
+            jnp.bitwise_or((rowh & 4) >> 1, (rowh & 8) >> 3)))  # [16, H]
 
-        def acs_step(t, _):
+        def acs_body(t):
             sym4 = soft_ref[pl.ds(t, 1)][0]                      # [4N, tile]
-            bm = jnp.dot(sgn, sym4, preferred_element_type=jnp.int32)
-            m = metric_ref[:]
-            c = (bm.reshape(16, 16, tile_b)
-                 + (m + (15 - rev_row_i))[:, None, :])           # [p, ns, t]
-            best = jnp.max(c, axis=0)                            # [16, tile]
-            dec_ref[pl.ds(t, 1), :, :] = \
-                (15 - (best & 15)).astype(jnp.int8)[None]
-            metric_ref[:] = best & -16
-            return 0
+            # `ilp` independent lane-group chains per iteration: the
+            # static unroll lets the scheduler overlap their
+            # dot/add/max/store latency chains
+            for g in range(ilp):
+                sl = slice(g * H, (g + 1) * H)
+                bm = jnp.dot(sgn, sym4[:, sl],
+                             preferred_element_type=jnp.int32)
+                m = metric_ref[:, sl]
+                c = (bm.reshape(16, 16, H)
+                     + (m + (15 - rev_row_i))[:, None, :])       # [p, ns, h]
+                best = jnp.max(c, axis=0)                        # [16, H]
+                dec_ref[pl.ds(t, 1), :, sl] = \
+                    (15 - (best & 15)).astype(jnp.int8)[None]
+                metric_ref[:, sl] = best & -16
 
         def onehot_best(m):
             best = jnp.max(m, axis=0, keepdims=True)
@@ -467,34 +482,66 @@ def _make_fused_kernel16(n_sym: int, n_out: int, tile_b: int,
                                keepdims=True)
             return (row == min_rank).astype(jnp.float32)
 
+        def unroll_of(span):
+            # the serial loops pay a fixed per-iteration bookkeeping
+            # cost comparable to the body's work; unroll as far as the
+            # segment span allows
+            for u in (4, 2, 1):
+                if span % u == 0:
+                    return u
+            return 1
+
         for k in range(nb + 1):
             if k > 0:
                 m = metric_ref[:]
                 bstate_ref[k - 1] = onehot_best(m)
                 r = rm_ref[pl.ds(k - 1, 1)]
                 metric_ref[:] = jnp.where(r > 0.0, init, m)
-            jax.lax.fori_loop(segs[k], segs[k + 1], acs_step, 0)
+            span = segs[k + 1] - segs[k]
+            u = unroll_of(span)
+
+            def acs_u(i, _, k=k, u=u):
+                t0 = segs[k] + i * u
+                for j in range(u):
+                    acs_body(t0 + j)
+                return 0
+
+            jax.lax.fori_loop(0, span // u, acs_u, 0)
 
         onehot = onehot_best(metric_ref[:])
-        rowf = row.astype(jnp.float32)
+        rowf = rowh.astype(jnp.float32)                          # [16, H]
         rev_row = rev_row_i.astype(jnp.float32)
 
         def tb_step(t, onehot):
-            s = jnp.sum(onehot * rowf, axis=0, keepdims=True)   # [1, tile]
-            si = s.astype(jnp.int32)
-            bits4 = jnp.concatenate(
-                [((si >> 3) & 1)[None], ((si >> 2) & 1)[None],
-                 ((si >> 1) & 1)[None], (si & 1)[None]],
-                axis=0).astype(jnp.int8)                         # [4, 1, tile]
-            bits_ref[pl.ds(4 * t, 4), :, :] = bits4
-            decj = dec_ref[pl.ds(t, 1), :, :][0].astype(jnp.float32)
-            jpath = jnp.sum(onehot * decj, axis=0, keepdims=True)
-            return (rev_row == jpath).astype(jnp.float32)
+            decj_t = dec_ref[pl.ds(t, 1), :, :][0]               # [16, tile]
+            outs = []
+            for g in range(ilp):
+                sl = slice(g * H, (g + 1) * H)
+                oh = onehot[:, sl]
+                s = jnp.sum(oh * rowf, axis=0, keepdims=True)    # [1, H]
+                si = s.astype(jnp.int32)
+                bits4 = jnp.concatenate(
+                    [((si >> 3) & 1)[None], ((si >> 2) & 1)[None],
+                     ((si >> 1) & 1)[None], (si & 1)[None]],
+                    axis=0).astype(jnp.int8)                     # [4, 1, H]
+                bits_ref[pl.ds(4 * t, 4), :, sl] = bits4
+                decj = decj_t[:, sl].astype(jnp.float32)
+                jpath = jnp.sum(oh * decj, axis=0, keepdims=True)
+                outs.append((rev_row == jpath).astype(jnp.float32))
+            return (outs[0] if ilp == 1
+                    else jnp.concatenate(outs, axis=1))
 
         for k in range(nb, -1, -1):
             t0, t1 = segs[k], segs[k + 1]
-            onehot = jax.lax.fori_loop(
-                0, t1 - t0, lambda i, oh: tb_step(t1 - 1 - i, oh), onehot)
+            span = t1 - t0
+            u = unroll_of(span)
+
+            def tb_u(i, oh, t1=t1, u=u):
+                for j in range(u):
+                    oh = tb_step(t1 - 1 - i * u - j, oh)
+                return oh
+
+            onehot = jax.lax.fori_loop(0, span // u, tb_u, onehot)
             if k > 0:
                 r = rm_ref[pl.ds(k - 1, 1)]
                 onehot = bstate_ref[k - 1] * r + onehot * (1.0 - r)
@@ -515,12 +562,14 @@ def _make_fused_kernel16(n_sym: int, n_out: int, tile_b: int,
 @functools.partial(jax.jit, static_argnames=("n_sym", "boundaries",
                                              "crc_segs", "generators",
                                              "tile_b", "interpret",
-                                             "batch_major"))
+                                             "batch_major",
+                                             "serialize_grid", "ilp"))
 def decode_assembled_pallas(xT, rmask, pmat, n_sym: int, boundaries: tuple,
                             crc_segs: tuple,
                             generators=CONV_GENERATORS_CCH,
                             tile_b: int = 1024, interpret: bool = False,
-                            batch_major: bool = False):
+                            batch_major: bool = False,
+                            serialize_grid: bool = False, ilp: int = 1):
     """Assembly + segmented Viterbi + CRC16 in ONE kernel pass.
 
     xT [K, B] int8: descrambled sign values ({0, ±1}), batch in lanes.
@@ -572,7 +621,9 @@ def decode_assembled_pallas(xT, rmask, pmat, n_sym: int, boundaries: tuple,
 
     sgn16, _ = _tables16(generators)
     kernel = _make_fused_kernel16(n_sym, n_out, tile, tuple(boundaries),
-                                  n_seg, batch_major=batch_major)
+                                  n_seg, batch_major=batch_major,
+                                  ilp=ilp if (tile // ilp) % 128 == 0
+                                  and tile % ilp == 0 else 1)
     x_spec = (pl.BlockSpec((tile, K), lambda i: (i, 0),
                            memory_space=pltpu.VMEM) if batch_major else
               pl.BlockSpec((K, tile), lambda i: (0, i),
@@ -609,6 +660,13 @@ def decode_assembled_pallas(xT, rmask, pmat, n_sym: int, boundaries: tuple,
             pltpu.VMEM((16, tile), jnp.int32),
             pltpu.VMEM((max(nb, 1), 16, tile), jnp.float32),
         ],
+        # serialize_grid trades the grid's input/output double
+        # buffering (DMA/compute overlap, ~1 us/tile here) for the
+        # VMEM headroom a 2048-lane tile needs — the wider tile halves
+        # the serial ACS iterations per slot, the dominant cost
+        compiler_params=(pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)) if serialize_grid
+            else None),
         interpret=interpret,
     )(xT, jnp.asarray(pmat, jnp.int8),
       jnp.asarray(sgn16 * 16.0).astype(jnp.int8), rm_t,
