@@ -122,18 +122,15 @@ class MultiCarrierReceiver:
         `pfb_channels` routes through the 2x-oversampled polyphase
         filterbank instead (O(T·taps) + one DFT instead of O(C·T)).
         """
-        wideband_iq = np.asarray(wideband_iq)
-        re = jnp.asarray(np.real(wideband_iq).astype(np.float32))
-        im = jnp.asarray(np.imag(wideband_iq).astype(np.float32))
-        if self.pfb_channels is not None:
-            from tetra_tpu.phy import pfb
-            out_r, out_i = pfb.pfb_to_demod_rate_ri(
-                re, im, jnp.asarray(self.pfb_channels), self.n_chan, self.fs)
-        else:
-            out_r, out_i = channelizer.channelize_ri(
-                re, im, jnp.asarray(self.offsets), fs=self.fs)
-        bits = np.asarray(dqpsk.demodulate_hard_ri(out_r, out_i, sps=self.sps))
-        return self.process_bits(bits, final=final)
+        wideband_iq = np.asarray(wideband_iq).astype(np.complex64)
+
+        def to_ri(raw):
+            return (jnp.asarray(np.real(raw)), jnp.asarray(np.imag(raw)))
+        # the PFB path streams through the hop-aligned overlap-save (a
+        # stateless per-chunk call would discard the filter state and
+        # cost every carrier a relock per chunk boundary); the
+        # mixer-bank path keeps stateless per-call behaviour
+        return self._wideband_stream(wideband_iq, 1, to_ri, final)
 
     def process_iq8(self, iq8, final: bool = True,
                     scale: float = 1.0) -> list[RxStats]:
