@@ -284,18 +284,26 @@ class FastChunkPipeline:
         self.fed = 0                 # abs scan position (host-tracked)
         self._outstanding: list[ChunkHandle] = []  # dispatch order
 
-    def submit(self, bits: np.ndarray) -> ChunkHandle | None:
-        """Dispatch one chunk of per-carrier hard bits [B, Lc]."""
-        bits = np.asarray(bits, dtype=np.uint8) & 1
+    def submit(self, bits) -> ChunkHandle | None:
+        """Dispatch one chunk of per-carrier hard bits [B, Lc].
+
+        Accepts either host numpy bits (packed 8:1 on host, ONE h2d
+        upload) or a DEVICE array (e.g. straight from the wideband
+        demodulator): device bits are packed on device, so the demod ->
+        decode handoff never crosses the link at all."""
         B, Lc = bits.shape
         assert B == self.n
         # pad the chunk to a 32-bit word boundary (the fused program's
         # slot extraction packs the window into uint32 words); the pad
         # sits beyond the true stream end and is never consumed
         lc_pad = -(-Lc // 32) * 32
-        if lc_pad != Lc:
-            bits = np.pad(bits, ((0, 0), (0, lc_pad - Lc)))
-        packed = np.packbits(bits, axis=1)
+        if isinstance(bits, jax.Array):
+            packed = _pack_bits_device(bits, lc_pad)
+        else:
+            bits = np.asarray(bits, dtype=np.uint8) & 1
+            if lc_pad != Lc:
+                bits = np.pad(bits, ((0, 0), (0, lc_pad - Lc)))
+            packed = np.packbits(bits, axis=1)
 
         new_base = self.end - RING_PAD   # abs position of window[0]
         end_abs = self.end + Lc
@@ -424,6 +432,19 @@ class FastChunkPipeline:
                 return          # stale carry was already correct
             scr = self._dispatch(h2, h2.g_rows, scr_override=scr)[4]
         self.carry = self.carry[:4] + (scr,)
+
+
+@functools.partial(jax.jit, static_argnames=("lc_pad",))
+def _pack_bits_device(bits, lc_pad: int):
+    """Device-resident [B, Lc] hard bits -> packed [B, lc_pad/8] uint8
+    (MSB first), the fused chunk's upload format without the upload."""
+    B, Lc = bits.shape
+    b = (bits.astype(jnp.uint8) & 1)
+    if lc_pad != Lc:
+        b = jnp.pad(b, ((0, 0), (0, lc_pad - Lc)))
+    w8 = jnp.left_shift(jnp.uint8(1), jnp.arange(7, -1, -1, dtype=jnp.uint8))
+    return (b.reshape(B, lc_pad // 8, 8).astype(jnp.int32)
+            * w8.astype(jnp.int32)).sum(-1).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("lc_pad",))

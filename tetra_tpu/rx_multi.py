@@ -175,8 +175,9 @@ class MultiCarrierReceiver:
         else:
             out_r, out_i = channelizer.channelize_ri(
                 re, im, jnp.asarray(self.offsets), fs=self.fs)
-        return np.asarray(dqpsk.demodulate_hard_ri(out_r, out_i,
-                                                   sps=self.sps))
+        # stays DEVICE-resident: the native fastpath packs on device,
+        # so the demod -> decode handoff never crosses the link
+        return dqpsk.demodulate_hard_ri(out_r, out_i, sps=self.sps)
 
     def _wideband_stream(self, raw, k: int, to_ri, final: bool):
         """Overlap-save streaming for the PFB front end: chunk
@@ -246,7 +247,9 @@ class MultiCarrierReceiver:
         NEXT call's device compute. Stats are complete once a
         final=True call (the default) drains the pipeline.
         """
-        bits = np.asarray(bits, dtype=np.uint8)
+        import jax
+        if not isinstance(bits, jax.Array):
+            bits = np.asarray(bits, dtype=np.uint8)
         assert bits.ndim == 2 and bits.shape[0] == len(self.carriers)
         if self.control_plane == "native":
             if self._pending:
@@ -262,6 +265,8 @@ class MultiCarrierReceiver:
             while self._pending and (final or len(self._pending) > 1):
                 self._collect_walk(self._pending.pop(0))
             return [rx.stats for rx in self.carriers]
+        if isinstance(bits, jax.Array):
+            bits = np.asarray(bits, np.uint8)   # host walk needs numpy
         return self._process_bits_python(bits)
 
     def _process_bits_python(self, bits) -> list[RxStats]:
