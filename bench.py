@@ -116,6 +116,33 @@ def main():
     slots_per_s = (B_BIG - B_SMALL) / (times[B_BIG] - times[B_SMALL])
     fec_carriers = slots_per_s / (18000.0 / 255.0)
 
+    # device-chained variant: R kernel invocations inside ONE jit (a
+    # dynamic roll defeats hoisting), rate = (R-1)*B/(t_R - t_1) —
+    # immune to the tunnel's per-call jitter, which has produced
+    # phantom 51-137M readings from the two-size differential above
+    # (PARITY.md "Viterbi kernel roofline")
+    B_CH = 262144
+    bd_ch = bursts_of(B_CH)
+    idd_ch = jnp.asarray(np.full(B_CH, init, dtype=np.uint32))
+
+    def chained(R):
+        @jax.jit
+        def f(b, i0):
+            def it(i, acc):
+                res = pipeline.decode_schf_burst(jnp.roll(b, i, axis=0),
+                                                 i0)
+                return acc + res["SCH_F"].crc_ok.astype(jnp.int32).sum()
+            return jax.lax.fori_loop(0, R, it, jnp.int32(0))
+        return f
+
+    f1, f8 = chained(1), chained(8)
+    int(f1(bd_ch, idd_ch))
+    int(f8(bd_ch, idd_ch))
+    t1 = _median_time(lambda: int(f1(bd_ch, idd_ch)), reps=5)
+    t8 = _median_time(lambda: int(f8(bd_ch, idd_ch)), reps=5)
+    fec_chained_slots_per_s = 7 * B_CH / (t8 - t1)
+    del bd_ch, idd_ch
+
     # ---- stage 3: full chain, kind-compacted fused decode ----
     from tetra_tpu.phy import dqpsk
     N_SLOTS = 64
@@ -377,6 +404,7 @@ def main():
         "wideband_realtime_carriers": round(wide_carriers, 1),
         "fec_only_slots_per_s": round(slots_per_s, 1),
         "fec_only_carriers": round(fec_carriers, 1),
+        "fec_chained_slots_per_s": round(fec_chained_slots_per_s, 1),
         "fec_crc_ok_frac": ok_frac,
         "h2d_gbps_cold": round(h2d_gbps_cold, 2),
         "ingest_msamples_per_s": round(ingest_samples_per_s / 1e6, 1),

@@ -387,10 +387,14 @@ class MultiCarrierReceiver:
         arena = evd.get("payload")
         if arena is not None and len(arena):
             from tetra_tpu.utils.bits import pack_bits
-            for i in np.flatnonzero(kinds == EV.TLSDU):
+            # without a registered sink only defrag-reassembled rows
+            # (the TUN candidates) need the per-row Python walk
+            dd = evd["d"]
+            tl_mask = (kinds == EV.TLSDU) & (dd >= 0)
+            if self.tl_sdu_sink is None:
+                tl_mask &= (dd & 1) == 1
+            for i in np.flatnonzero(tl_mask):
                 ref = int(evd["d"][i])
-                if ref < 0:
-                    continue
                 nbits = int(evd["c"][i])
                 sdu = arena[ref >> 1: (ref >> 1) + nbits]
                 if (ref & 1) and nbits > 19:
@@ -402,7 +406,10 @@ class MultiCarrierReceiver:
                                      int(evd["b"][i]), sdu)
 
         tr = np.flatnonzero(kinds == EV.TRAFFIC)
-        if len(tr):
+        # the traffic routing only feeds dump files / voice decode;
+        # without a dump dir the gathers and the per-slot walk are
+        # pure overhead (rx._dump_traffic would return immediately)
+        if len(tr) and self.carriers and self.carriers[0].dumpdir:
             # ONE batched device gather for exactly the traffic slots'
             # t4 payloads (full slot for SCH/F, blk2 for NDB stealing)
             refs = evd["a"][tr]
