@@ -271,6 +271,9 @@ class TestScanToNativePlane:
         nat = run("native")
         py = run("python")
         assert len(nat.carriers) == len(py.carriers) == 2
+        # grid-aligned confirmed carriers route through the PFB (the
+        # overlap-save streaming front end), not the stateless mixer
+        assert nat.pfb_channels is not None
         ids = sorted((rx.mcc, rx.mnc, rx.colour_code)
                      for rx in nat.carriers)
         assert ids == [(262, 42, 1), (901, 7, 5)]

@@ -127,20 +127,39 @@ def run_rtltcp(args):
     else:
         offsets = [float(x) for x in args.carriers.split(",")]
 
-    mrx = MultiCarrierReceiver(np.asarray(offsets, np.float32), fs=fs,
-                               keystore_path=args.keystore,
-                               dumpdir=args.dumpdir,
-                               gsmtap_host=args.gsmtap,
-                               control_plane=args.control_plane,
-                               decode_voice=args.voice)
+    rx_kw = dict(keystore_path=args.keystore, dumpdir=args.dumpdir,
+                 gsmtap_host=args.gsmtap,
+                 control_plane=args.control_plane,
+                 decode_voice=args.voice)
+    # grid-aligned carriers route through the polyphase filterbank:
+    # O(T*taps + DFT) instead of O(C*T), and the PFB path streams with
+    # hop-aligned overlap-save (bit-exact across the 0.5 s chunk
+    # boundaries; the stateless mixer path loses a slot per carrier
+    # per boundary to relocks)
+    n_chan = int(round(fs / 25_000.0))
+    on_grid = (n_chan % 2 == 0
+               and abs(fs - n_chan * 25_000.0) < 1e-3
+               and len(offsets) > 0
+               and all(abs(o - round(o / 25_000.0) * 25_000.0) < 500.0
+                       for o in offsets))
+    if on_grid:
+        chans = [int(round(o / 25_000.0)) % n_chan for o in offsets]
+        print(f"routing {len(chans)} carrier(s) through the PFB "
+              f"({n_chan} channels)", file=sys.stderr)
+        mrx = MultiCarrierReceiver([], fs=fs, pfb_channels=chans,
+                                   n_chan=n_chan, **rx_kw)
+    else:
+        mrx = MultiCarrierReceiver(np.asarray(offsets, np.float32),
+                                   fs=fs, **rx_kw)
     chunk = int(fs // 2)  # ~0.5 s per device dispatch
     total = int(args.secs * fs) if args.secs else None
     stats = [rx.stats for rx in mrx.carriers]
     try:
         for iq in src.stream(chunk=chunk, total_samples=total):
-            stats = mrx.process_iq(iq)
+            stats = mrx.process_iq(iq, final=False)
+        stats = mrx.process_iq(np.zeros(0, np.complex64), final=True)
     except KeyboardInterrupt:
-        pass
+        stats = mrx.process_iq(np.zeros(0, np.complex64), final=True)
     finally:
         src.close()
     for off, s in zip(offsets, stats):

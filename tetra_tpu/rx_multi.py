@@ -196,6 +196,10 @@ class MultiCarrierReceiver:
         The mixer-bank path (offsets without pfb_channels) keeps the
         stateless per-call behaviour."""
         if self.pfb_channels is None:
+            if len(raw) == 0:
+                return self.process_bits(
+                    np.zeros((len(self.carriers), 0), np.uint8),
+                    final=final)
             re, im = to_ri(raw)
             return self.process_bits(self._demod_ri(re, im), final=final)
         n = self.n_chan
