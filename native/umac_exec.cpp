@@ -224,7 +224,10 @@ struct Carrier {
     // tetra_crypto.h:94-104): cc/mcc/mnc track SYNC, la/cn/cck_id/hn
     // track SYSINFO; net_idx/cck_idx cache the keystore resolution
     int c_mcc = -1, c_mnc = -1, cck_id = -1, hn = -1;
-    int la = -1, cn = -1, cc = -1;
+    // cn starts at 0 like the python plane (the reference init skips
+    // cn, leaving the zeroed allocation, tetra_crypto.c:92-106) — so
+    // both planes' TB5 gating agrees in the pre-SYSINFO window
+    int la = -1, cn = 0, cc = -1;
     int net_idx = -1, cck_idx = -1;
     // keystream cache: consecutive MAC elements of one slot (and the
     // slot's voice halves) share (iv, key, ECK inputs); the reference

@@ -136,11 +136,15 @@ def run_rtltcp(args):
     # hop-aligned overlap-save (bit-exact across the 0.5 s chunk
     # boundaries; the stateless mixer path loses a slot per carrier
     # per boundary to relocks)
+    # on-grid tolerance 100 Hz: the PFB snaps to the bin centre without
+    # derotating the residual CFO, and 100 Hz is ~2°/symbol at 18 ksym/s
+    # (negligible demod margin); larger residuals (tuner ppm error) take
+    # the exact mixer path instead
     n_chan = int(round(fs / 25_000.0))
     on_grid = (n_chan % 2 == 0
                and abs(fs - n_chan * 25_000.0) < 1e-3
                and len(offsets) > 0
-               and all(abs(o - round(o / 25_000.0) * 25_000.0) < 500.0
+               and all(abs(o - round(o / 25_000.0) * 25_000.0) < 100.0
                        for o in offsets))
     if on_grid:
         chans = [int(round(o / 25_000.0)) % n_chan for o in offsets]

@@ -85,7 +85,12 @@ class MultiCarrierReceiver:
         if tl_sdu_sink is not None and control_plane == "python":
             from tetra_tpu.utils.bits import bits_to_uint
             for ci, rx in enumerate(self.carriers):
-                def cb(bits, n, _c=ci):
+                # the sink is ADDITIVE: TetraReceiver wired tl_sdu_cb to
+                # mle.rx_tl_sdu (MLE/CMCE/SNDCP parse + reference log
+                # lines) — chain it so both planes keep full L3 parsing
+                def cb(bits, n, _c=ci, _prev=rx.llc.tl_sdu_cb):
+                    if _prev is not None:
+                        _prev(bits, n)
                     b = np.asarray(bits)[:n]
                     pdisc = int(bits_to_uint(b[:3]))
                     w = {1: 4, 2: 5, 4: 4, 5: 3}.get(pdisc)
@@ -218,6 +223,7 @@ class MultiCarrierReceiver:
             # not enough for the first aligned batch yet: stash
             self._wb_rem = data
             if final:
+                self._reset_wb_stream()
                 return self.process_bits(
                     np.zeros((len(self.carriers), 0), np.uint8),
                     final=True)
@@ -241,7 +247,19 @@ class MultiCarrierReceiver:
                     np.concatenate([self._wb_hist if self._wb_hist is
                                     not None else chunk[:0], chunk]))
         self._wb_hist = hist_src[-W * k:]
+        if final:
+            # each stream restarts cleanly: a one-shot final call with a
+            # non-BLOCK-aligned length would otherwise leave _wb_hist
+            # set without _wb_g, and any post-final continuation would
+            # splice with a misaligned hop/resampler phase
+            self._reset_wb_stream()
         return self.process_bits(bits, final=final)
+
+    def _reset_wb_stream(self):
+        self._wb_hist = None
+        self._wb_rem = self._wb_rem[:0]
+        if hasattr(self, "_wb_g"):
+            del self._wb_g
 
     def process_bits(self, bits, final: bool = True) -> list[RxStats]:
         """Per-carrier hard bits [C, T] -> per-carrier decode stats.
