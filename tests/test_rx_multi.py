@@ -417,7 +417,7 @@ class TestWidebandIq4:
         m8 = MultiCarrierReceiver([], fs=n_chan * 25e3,
                                   pfb_channels=chans, n_chan=n_chan,
                                   control_plane="native")
-        m8.process_iq8(iq8, scale=1.0 / (0.5 * 127))
+        m8.process_iq8(iq8)   # demod is scale-invariant: no gain needed
         for rx, (mcc, mnc, cc) in zip(m8.carriers,
                                       ((262, 42, 1), (901, 7, 5))):
             assert (rx.mcc, rx.mnc, rx.colour_code) == (mcc, mnc, cc)
@@ -452,13 +452,24 @@ class TestWidebandIq4:
         iq8[1::2] = np.clip(np.round(wide.imag * q), -127, 127)
 
         def run(cuts):
+            # the fused native path never materialises bits on host;
+            # record the exact chunk bits each dispatch will consume by
+            # replaying its front end (same jit, same static slice)
+            import jax.numpy as jnp
+            from tetra_tpu import fastpath
             got = []
             mrx = MultiCarrierReceiver([], fs=n_chan * 25e3,
                                        pfb_channels=chans, n_chan=n_chan,
                                        control_plane="native")
-            orig = mrx.process_bits
-            mrx.process_bits = lambda b, final=True: (
-                got.append(np.array(b)), orig(b, final=final))[1]
+            orig_iq = mrx._fast.submit_iq
+
+            def rec_submit(raw, fmt, keep, ci, nc, fs, sps=2):
+                got.append(np.asarray(fastpath._iq_frontend_bits(
+                    jnp.asarray(raw), ci, fmt, nc, fs, sps, keep),
+                    np.uint8))
+                return orig_iq(raw, fmt, keep, ci, nc, fs, sps=sps)
+
+            mrx._fast.submit_iq = rec_submit
             for i in range(len(cuts) - 1):
                 mrx.process_iq8(iq8[2 * cuts[i]: 2 * cuts[i + 1]],
                                 final=i == len(cuts) - 2)

@@ -58,8 +58,8 @@ from tetra_tpu.lmac.fused import decode_slots_fused
 from tetra_tpu.ops import scramble
 from tetra_tpu.rx import _pack_selected, _PACK_BITS
 
-__all__ = ["FastChunkPipeline", "fused_chunk", "max_slots",
-           "ROW_BYTES", "RING_PAD"]
+__all__ = ["FastChunkPipeline", "fused_chunk", "fused_chunk_iq",
+           "max_slots", "ROW_BYTES", "RING_PAD"]
 
 ROW_BYTES = 40            # 36 packed section bytes + flags+delta+car16
 _SEC_BYTES = 36           # ceil(282 / 8): worst-kind section total is
@@ -76,14 +76,13 @@ def max_slots(steps: int, feed: int) -> int:
     return int(min(steps, (RING_BITS + steps * feed) // C.BITS_PER_TS + 1))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("steps", "feed", "g_rows", "lc_pad"))
-def fused_chunk(ring, packed, end_rel, rebase, st0, bs0, nb0, nfs0, fed_rel,
-                scr0, steps: int, feed: int, g_rows: int, lc_pad: int):
-    """One ingest chunk, fully fused on device.
+def _fused_chunk_body(ring, chunk, end_rel, rebase, st0, bs0, nb0, nfs0,
+                      fed_rel, scr0, steps: int, feed: int, g_rows: int):
+    """One ingest chunk, fully fused on device (trace-level body shared
+    by the packed-bits and IQ-front-end entry points).
 
     ring [B, RING_PAD] int8: last RING_PAD stream bits (device carry).
-    packed [B, lc_pad//8] uint8: this chunk's new bits, 8/byte MSB-first.
+    chunk [B, lc_pad] int8: this chunk's new unpacked bits.
     end_rel: window-relative position of the true stream end.
     rebase: window base delta since the carry was written; subtracted
     from the carried rel positions (bs0, nfs0).
@@ -98,8 +97,6 @@ def fused_chunk(ring, packed, end_rel, rebase, st0, bs0, nb0, nfs0, fed_rel,
     """
     B = ring.shape[0]
     G = g_rows
-    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-    chunk = ((packed[..., None] >> shifts) & 1).reshape(B, lc_pad)
     bits = jnp.concatenate([ring, chunk.astype(jnp.int8)], axis=1)
     L = bits.shape[1]
 
@@ -245,14 +242,90 @@ def fused_chunk(ring, packed, end_rel, rebase, st0, bs0, nb0, nfs0, fed_rel,
     return bundle, new_ring, (st, bs, nb, nfs, scr_final), t4_full, t4_b2
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "feed", "g_rows", "lc_pad"))
+def fused_chunk(ring, packed, end_rel, rebase, st0, bs0, nb0, nfs0, fed_rel,
+                scr0, steps: int, feed: int, g_rows: int, lc_pad: int):
+    """Packed-bits entry: packed [B, lc_pad//8] uint8 (8 bits/byte,
+    MSB-first) -> _fused_chunk_body."""
+    B = ring.shape[0]
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    chunk = ((packed[..., None] >> shifts) & 1).reshape(B, lc_pad)
+    return _fused_chunk_body(ring, chunk, end_rel, rebase, st0, bs0, nb0,
+                             nfs0, fed_rel, scr0, steps, feed, g_rows)
+
+
+def _iq_to_ri(fmt: str, raw):
+    """Wideband ingest format -> planar float (re, im) on device."""
+    from tetra_tpu.io import stream
+    if fmt == "iq4c":
+        return stream.dequantize_iq4c(raw)
+    if fmt == "iq4":
+        return stream.dequantize_iq4(raw)
+    if fmt == "iq8":
+        return (raw[0::2].astype(jnp.float32), raw[1::2].astype(jnp.float32))
+    if fmt == "f32i":
+        # interleaved float32 [I0, Q0, I1, Q1, ...]: the complex64 host
+        # buffer reinterpreted — complex dtypes never cross the link
+        return raw[0::2], raw[1::2]
+    raise ValueError(fmt)
+
+
+def _iq_frontend(raw, channel_idx, fmt: str, n_chan: int, fs: float,
+                 sps: int):
+    """Wideband raw samples -> per-carrier hard bits [C, Lf]: dequantize
+    -> PFB channelize -> resample to the demod rate -> DQPSK demod, all
+    one traced program (reference per-carrier front end:
+    src/demod/osmosdr-tetra_demod_fft.py:64-96, batched)."""
+    from tetra_tpu.phy import dqpsk
+    from tetra_tpu.phy.pfb import pfb_to_demod_rate_ri
+    re, im = _iq_to_ri(fmt, raw)
+    cr, ci = pfb_to_demod_rate_ri(re, im, channel_idx, n_chan, fs)
+    return dqpsk.demodulate_hard_ri(cr, ci, sps=sps)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fmt", "n_chan", "fs", "sps", "keep", "steps", "feed", "g_rows",
+    "lc_pad"))
+def fused_chunk_iq(ring, raw, channel_idx, end_rel, rebase, st0, bs0, nb0,
+                   nfs0, fed_rel, scr0, fmt: str, n_chan: int, fs: float,
+                   sps: int, keep: int, steps: int, feed: int, g_rows: int,
+                   lc_pad: int):
+    """Wideband-IQ entry: ONE device program from raw quantized RF
+    samples to the fetched result bundle — dequantize + PFB + resample
+    + demod + ring splice + sync scan + FEC + packing. On a tunneled
+    device every extra dispatch costs a fixed RPC round-trip, so the
+    whole per-chunk pipeline must be one program (PARITY.md "streaming
+    ingest").
+
+    keep: how many trailing demod bits are NEW stream bits (the leading
+    bits re-derive the overlap-save history already consumed)."""
+    bits_full = _iq_frontend(raw, channel_idx, fmt, n_chan, fs, sps)
+    chunk = bits_full[:, bits_full.shape[1] - keep:]
+    if lc_pad != keep:
+        chunk = jnp.pad(chunk, ((0, 0), (0, lc_pad - keep)))
+    return _fused_chunk_body(ring, chunk, end_rel, rebase, st0, bs0, nb0,
+                             nfs0, fed_rel, scr0, steps, feed, g_rows)
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "n_chan", "fs", "sps",
+                                             "keep"))
+def _iq_frontend_bits(raw, channel_idx, fmt: str, n_chan: int, fs: float,
+                      sps: int, keep: int):
+    """Front end alone (short-chunk absorb path): the trailing `keep`
+    new bits as a device array."""
+    bits_full = _iq_frontend(raw, channel_idx, fmt, n_chan, fs, sps)
+    return bits_full[:, bits_full.shape[1] - keep:]
+
+
 @dataclass(eq=False)
 class ChunkHandle:
     """A dispatched-but-not-fetched chunk.
 
-    Holds references to the dispatch inputs so a budget overflow can
-    re-run the chunk with the sufficient B*maxs row budget (device
-    arrays stay alive either way; no copies are made). On such a
-    re-run the handle is mutated IN PLACE so callers that gather from
+    Holds a redispatch closure over the dispatch inputs so a budget
+    overflow can re-run the chunk with the sufficient B*maxs row budget
+    (device arrays stay alive either way; no copies are made). On such
+    a re-run the handle is mutated IN PLACE so callers that gather from
     t4_full/t4_b2 by the returned slot_refs see the arrays those refs
     actually index.
     """
@@ -260,8 +333,8 @@ class ChunkHandle:
     t4_full: object       # device [G, 432] int8
     t4_b2: object         # device [G, 216] int8
     g_rows: int
-    inputs: tuple | None = None   # (ring, packed, end_rel, rebase,
-                                  #  carry..., fed_rel, steps, lc_pad)
+    inputs: tuple | None = None   # (dispatch fn(scr, g_rows) -> 5-tuple,
+                                  #  scrambling-code carry it ran with)
     maxs: int = 0                 # sufficient per-carrier budget
 
 
@@ -305,41 +378,80 @@ class FastChunkPipeline:
                 bits = np.pad(bits, ((0, 0), (0, lc_pad - Lc)))
             packed = np.packbits(bits, axis=1)
 
-        new_base = self.end - RING_PAD   # abs position of window[0]
-        end_abs = self.end + Lc
-        steps = int((end_abs - self.fed) // self.feed)
+        steps = int((self.end + Lc - self.fed) // self.feed)
         if steps <= 0:
             # window grows within the ring slack; nothing to scan yet
             self.ring = _absorb(self.ring, jnp.asarray(packed),
                                 np.int32(Lc), lc_pad)
-            self.end = end_abs
+            self.end += Lc
             return None
+        packed_d = jnp.asarray(packed)
+        feed = self.feed
+
+        def make_fn(ring0, rebase, end_rel, fed_rel, st, bs, nb, nfs):
+            def dispatch(scr, g_rows):
+                return fused_chunk(ring0, packed_d, end_rel, rebase,
+                                   st, bs, nb, nfs, fed_rel, scr,
+                                   steps, feed, g_rows, lc_pad)
+            return dispatch
+        return self._submit_common(Lc, steps, make_fn)
+
+    def submit_iq(self, raw, fmt: str, keep: int, channel_idx,
+                  n_chan: int, fs: float, sps: int = 2) -> ChunkHandle | None:
+        """Dispatch one WIDEBAND chunk: raw quantized RF samples in,
+        the entire front end (dequantize + PFB channelize + resample +
+        DQPSK demod) fused INTO the chunk program — one h2d upload, one
+        dispatch, one fetched bundle per chunk; per-carrier bits never
+        exist on the host.
+
+        raw: 1-D samples in `fmt` ("iq4c"/"iq4"/"iq8"/"c64"), including
+        the caller's overlap-save history refeed. keep: how many
+        trailing demod bits are NEW stream bits (the caller's
+        hop-alignment accounting, rx_multi._wideband_stream)."""
+        lc_pad = -(-keep // 32) * 32
+        steps = int((self.end + keep - self.fed) // self.feed)
+        raw_d = jnp.asarray(raw)
+        if steps <= 0:
+            bits = _iq_frontend_bits(raw_d, channel_idx, fmt, n_chan, fs,
+                                     sps, keep)
+            self.ring = _absorb_bits(self.ring, bits)
+            self.end += keep
+            return None
+        feed = self.feed
+
+        def make_fn(ring0, rebase, end_rel, fed_rel, st, bs, nb, nfs):
+            def dispatch(scr, g_rows):
+                return fused_chunk_iq(ring0, raw_d, channel_idx, end_rel,
+                                      rebase, st, bs, nb, nfs, fed_rel,
+                                      scr, fmt, n_chan, fs, sps, keep,
+                                      steps, feed, g_rows, lc_pad)
+            return dispatch
+        return self._submit_common(keep, steps, make_fn)
+
+    def _submit_common(self, Lc: int, steps: int, make_fn) -> ChunkHandle:
+        """Shared dispatch bookkeeping: window geometry, carry snapshot,
+        dispatch, carry advance. make_fn closes over the chunk payload
+        and returns dispatch(scr, g_rows) — re-invocable for budget
+        overflows (the closure is ALWAYS saved: an overflow in an
+        EARLIER chunk corrects the scrambling-code carry, which must be
+        re-committed through chunks dispatched with the stale value)."""
+        new_base = self.end - RING_PAD   # abs position of window[0]
+        end_abs = self.end + Lc
         maxs = max_slots(steps, self.feed)
         # global row budget: mean emit rate + slack, never above the
-        # per-carrier worst case (see fused_chunk docstring)
-        G = B * min(maxs, steps * self.feed // C.BITS_PER_TS + G_SLACK)
+        # per-carrier worst case (see _fused_chunk_body docstring)
+        G = self.n * min(maxs, steps * self.feed // C.BITS_PER_TS + G_SLACK)
         st, bs, nb, nfs, scr = self.carry
-        rebase = np.int32(new_base - self.carry_base)
-        end_rel = np.int32(end_abs - new_base)
-        ring0 = self.ring
-        packed_d = jnp.asarray(packed)
-        fed_rel = np.int32(self.fed - new_base)
-        bundle, ring, carry, t4f, t4b = fused_chunk(
-            ring0, packed_d, end_rel, rebase,
-            st, bs, nb, nfs, fed_rel, scr,
-            steps, self.feed, G, lc_pad)
-        # inputs are ALWAYS saved: a budget overflow in an EARLIER
-        # chunk corrects the scrambling-code carry, which must then be
-        # re-committed through this chunk if it was dispatched with
-        # the stale value (see _overflow_rerun)
-        inputs = (ring0, packed_d, end_rel, rebase, st, bs, nb, nfs,
-                  fed_rel, scr, steps, lc_pad)
+        dispatch = make_fn(self.ring, np.int32(new_base - self.carry_base),
+                           np.int32(end_abs - new_base),
+                           np.int32(self.fed - new_base), st, bs, nb, nfs)
+        bundle, ring, carry, t4f, t4b = dispatch(scr, G)
         self.ring = ring
         self.carry = carry
         self.carry_base = new_base
         self.end = end_abs
         self.fed += steps * self.feed
-        h = ChunkHandle(bundle, t4f, t4b, G, inputs, maxs)
+        h = ChunkHandle(bundle, t4f, t4b, G, (dispatch, scr), maxs)
         self._outstanding.append(h)
         return h
 
@@ -406,15 +518,13 @@ class FastChunkPipeline:
 
     def _dispatch(self, h: ChunkHandle, g_rows: int,
                   scr_override=None) -> tuple:
-        """(Re-)run a chunk from its saved inputs with row budget
-        g_rows, mutating the handle in place; returns the carry."""
+        """(Re-)run a chunk from its saved dispatch closure with row
+        budget g_rows, mutating the handle in place; returns the carry."""
+        fn, scr = h.inputs
         if scr_override is not None:
-            h.inputs = h.inputs[:9] + (scr_override,) + h.inputs[10:]
-        (ring0, packed_d, end_rel, rebase, st, bs, nb, nfs,
-         fed_rel, scr, steps, lc_pad) = h.inputs
-        bundle, _, carry, t4f, t4b = fused_chunk(
-            ring0, packed_d, end_rel, rebase, st, bs, nb, nfs,
-            fed_rel, scr, steps, self.feed, g_rows, lc_pad)
+            scr = scr_override
+            h.inputs = (fn, scr)
+        bundle, _, carry, t4f, t4b = fn(scr, g_rows)
         h.bundle, h.t4_full, h.t4_b2, h.g_rows = bundle, t4f, t4b, g_rows
         return carry
 
@@ -427,7 +537,7 @@ class FastChunkPipeline:
         scr = self._dispatch(h, self.n * h.maxs)[4]
         later = self._outstanding[self._outstanding.index(h) + 1:]
         for h2 in later:
-            if np.array_equal(np.asarray(h2.inputs[9]),
+            if np.array_equal(np.asarray(h2.inputs[1]),
                               np.asarray(scr)):
                 return          # stale carry was already correct
             scr = self._dispatch(h2, h2.g_rows, scr_override=scr)[4]
@@ -445,6 +555,14 @@ def _pack_bits_device(bits, lc_pad: int):
     w8 = jnp.left_shift(jnp.uint8(1), jnp.arange(7, -1, -1, dtype=jnp.uint8))
     return (b.reshape(B, lc_pad // 8, 8).astype(jnp.int32)
             * w8.astype(jnp.int32)).sum(-1).astype(jnp.uint8)
+
+
+@jax.jit
+def _absorb_bits(ring, bits):
+    """Short-chunk path, unpacked-device-bits variant (IQ front end):
+    append < one feed quantum into the ring."""
+    win = jnp.concatenate([ring, bits.astype(jnp.int8)], axis=1)
+    return win[:, win.shape[1] - RING_PAD:]
 
 
 @functools.partial(jax.jit, static_argnames=("lc_pad",))

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["stream_map", "dequantize_iq", "quantize_iq",
-           "dequantize_iq4", "quantize_iq4"]
+           "dequantize_iq4", "quantize_iq4",
+           "dequantize_iq4c", "quantize_iq4c", "LLOYD_MAX_16"]
 
 
 def quantize_iq(re, im, scale: float = 127.0):
@@ -51,6 +52,51 @@ def quantize_iq4(re, im, scale: float = 7.0):
     q = lambda x: (np.clip(np.round(np.asarray(x) * scale), -7, 7)
                    .astype(np.int8) & 0xF).astype(np.uint8)
     return (q(re) | (q(im) << 4)).astype(np.uint8)
+
+
+# Optimal (Lloyd-Max) 16-level quantizer for a unit-variance Gaussian
+# (Max, "Quantizing for minimum distortion", 1960). A fully-loaded
+# wideband composite of many carriers IS Gaussian, and a UNIFORM 4-bit
+# quantizer loses ~4.5 dB to it (15.6 vs 20.1 dB per-channel SNR
+# measured on a 512-carrier composite): the uniform grid wastes levels
+# on the rare tails, while the companded grid concentrates them where
+# the density is. 20 dB per channel sits ~10 dB above the hard-decision
+# chain's CRC floor (PARITY.md robustness table).
+LLOYD_MAX_16 = np.array(
+    [-2.733, -2.069, -1.618, -1.256, -0.9424, -0.6568, -0.3881, -0.1284,
+     0.1284, 0.3881, 0.6568, 0.9424, 1.256, 1.618, 2.069, 2.733],
+    np.float32)
+_LM16_BOUNDS = ((LLOYD_MAX_16[:-1] + LLOYD_MAX_16[1:]) / 2).astype(np.float32)
+
+
+def quantize_iq4c(re, im, sigma: float | None = None):
+    """Host-side float IQ -> ONE uint8 per complex sample, COMPANDED:
+    each component maps to the nearest of 16 Lloyd-Max levels for a
+    Gaussian of the measured (or given) std; I index in the low nibble,
+    Q in the high nibble.
+
+    The production wideband ingest format: 25 kB/s per carrier at full
+    occupancy (vs 50 for interleaved int8) with ~20 dB per-channel SNR
+    REGARDLESS of channel count — the uniform-grid iq4 format clips the
+    Gaussian composite above ~128 active channels; the companded grid
+    does not. The level SCALE never needs to reach the decoder: the
+    DQPSK demod is phase-based (amplitude-invariant), so
+    `dequantize_iq4c` emits unit-sigma levels."""
+    re = np.asarray(re)
+    im = np.asarray(im)
+    if sigma is None:
+        sigma = float(np.sqrt((np.var(re) + np.var(im)) / 2.0)) or 1.0
+    qi = np.searchsorted(_LM16_BOUNDS, re / sigma).astype(np.uint8)
+    qq = np.searchsorted(_LM16_BOUNDS, im / sigma).astype(np.uint8)
+    return (qi | (qq << 4)).astype(np.uint8)
+
+
+def dequantize_iq4c(packed):
+    """Device-side companded 4+4-bit IQ -> (re, im) float32 at unit
+    sigma: two 16-entry LUT takes, fused into the consumer by XLA."""
+    lut = jnp.asarray(LLOYD_MAX_16)
+    p = packed.astype(jnp.int32)
+    return jnp.take(lut, p & 0xF), jnp.take(lut, (p >> 4) & 0xF)
 
 
 def dequantize_iq4(packed, scale: float = 1.0 / 7.0):

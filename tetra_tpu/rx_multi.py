@@ -25,6 +25,8 @@ Two control planes:
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -33,6 +35,25 @@ from tetra_tpu.phy.sync_vec import MultiSync
 from tetra_tpu.rx import TetraReceiver, RxStats, decode_slots_multi
 
 __all__ = ["MultiCarrierReceiver"]
+
+
+@functools.lru_cache(maxsize=None)
+def _pfb_demod_bits_len(n_samples: int, n_chan: int, fs: float,
+                        sps: int) -> int:
+    """Demod output bit count for an n_samples wideband feed through
+    the PFB front end — jax.eval_shape only (no compile, no device
+    work), so the fused native submit knows its static slice before
+    dispatching anything."""
+    import jax
+    from tetra_tpu.phy import pfb as pfb_mod
+
+    def f(re, im):
+        cr, ci = pfb_mod.pfb_to_demod_rate_ri(
+            re, im, jnp.zeros(1, jnp.int32), n_chan, fs)
+        return dqpsk.demodulate_hard_ri(cr, ci, sps=sps)
+
+    s = jax.ShapeDtypeStruct((n_samples,), jnp.float32)
+    return int(jax.eval_shape(f, s, s).shape[-1])
 
 
 class MultiCarrierReceiver:
@@ -128,31 +149,37 @@ class MultiCarrierReceiver:
         filterbank instead (O(T·taps) + one DFT instead of O(C·T)).
         """
         wideband_iq = np.asarray(wideband_iq).astype(np.complex64)
-
-        def to_ri(raw):
-            return (jnp.asarray(np.real(raw)), jnp.asarray(np.imag(raw)))
+        # interleaved float32 planes: complex64 never crosses the link
+        # (some TPU transports don't support it — phy/pfb.py)
+        raw = np.ascontiguousarray(wideband_iq).view(np.float32)
         # the PFB path streams through the hop-aligned overlap-save (a
         # stateless per-chunk call would discard the filter state and
         # cost every carrier a relock per chunk boundary); the
         # mixer-bank path keeps stateless per-call behaviour
-        return self._wideband_stream(wideband_iq, 1, to_ri, final)
+        return self._wideband_stream(raw, 2, "f32i", final)
 
-    def process_iq8(self, iq8, final: bool = True,
-                    scale: float = 1.0) -> list[RxStats]:
+    def process_iq8(self, iq8, final: bool = True) -> list[RxStats]:
         """One chunk of interleaved int8 wideband IQ ([I0, Q0, I1, Q1,
         ...], TWO bytes per complex sample) through the full chain.
 
-        The byte-per-complex-sample iq4 format clips a fully-loaded
-        composite above ~128 active 25 kHz channels (Gaussian PAPR vs
-        15 levels — measured in tools/bench_mc_e2e.py run_wideband's
-        development); int8 keeps ~37 dB at a 6-sigma backoff and still
-        carries only 50 kB/s per carrier at full occupancy."""
-        def to_ri(raw):
-            arr = jnp.asarray(raw)
-            return (arr[0::2].astype(jnp.float32) * np.float32(scale),
-                    arr[1::2].astype(jnp.float32) * np.float32(scale))
-        return self._wideband_stream(np.asarray(iq8, np.int8), 2, to_ri,
+        ~37 dB per-channel SNR at a 6-sigma backoff at any occupancy;
+        use the half-the-bytes `process_iq4c` companded format when the
+        h2d link, not fidelity, bounds carrier count."""
+        return self._wideband_stream(np.asarray(iq8, np.int8), 2, "iq8",
                                      final)
+
+    def process_iq4c(self, packed_u8, final: bool = True) -> list[RxStats]:
+        """One chunk of COMPANDED 4+4-bit wideband IQ (io.stream
+        quantize_iq4c: Lloyd-Max Gaussian levels, ONE byte per complex
+        sample) through the full chain.
+
+        The production wideband ingest format: 25 kB/s-carrier on the
+        h2d link at ANY occupancy — unlike the uniform-grid iq4 format,
+        whose 15 linear levels clip the Gaussian composite above ~128
+        active channels, the companded grid holds ~20 dB per-channel
+        SNR at full load (~10 dB over the hard-decision CRC floor)."""
+        return self._wideband_stream(np.asarray(packed_u8, np.uint8), 1,
+                                     "iq4c", final)
 
     def process_iq4(self, packed_u8, final: bool = True) -> list[RxStats]:
         """One chunk of packed 4+4-bit wideband IQ (io.stream
@@ -162,14 +189,11 @@ class MultiCarrierReceiver:
         The h2d link carries 1 byte per wideband sample — with N
         carriers at 25 kHz spacing that is 25 kB/s per carrier, vs 72
         (planar int8 sps=2 IQ) or 36 (packed 4-bit per-carrier IQ) for
-        the per-carrier ingest formats. Suitable up to ~128 active
-        channels; fully-loaded wide spans should use process_iq8."""
-        from tetra_tpu.io import stream
-
-        def to_ri(raw):
-            return stream.dequantize_iq4(jnp.asarray(raw))
+        the per-carrier ingest formats. The 15 LINEAR levels suit up to
+        ~128 active channels; fully-loaded spans should use the
+        companded `process_iq4c` (same byte rate) or `process_iq8`."""
         return self._wideband_stream(np.asarray(packed_u8, np.uint8), 1,
-                                     to_ri, final)
+                                     "iq4", final)
 
     def _demod_ri(self, re, im) -> np.ndarray:
         if self.pfb_channels is not None:
@@ -184,7 +208,7 @@ class MultiCarrierReceiver:
         # so the demod -> decode handoff never crosses the link
         return dqpsk.demodulate_hard_ri(out_r, out_i, sps=self.sps)
 
-    def _wideband_stream(self, raw, k: int, to_ri, final: bool):
+    def _wideband_stream(self, raw, k: int, fmt: str, final: bool):
         """Overlap-save streaming for the PFB front end: chunk
         boundaries would otherwise discard the channelizer/resampler/
         demod filter state and cost every carrier ~a slot per chunk
@@ -195,17 +219,23 @@ class MultiCarrierReceiver:
         samples = 50 PFB hops = exactly 36 demod bits per carrier at
         the 50k->36k resampler's 18/25 phase period), so the valid
         region of the per-call output equals the continuous stream's
-        bits; the warmup's bit count is measured once on a zero
-        capture. raw: 1-D array with k elements per complex sample.
+        bits; bit counts come from jax.eval_shape (no device work).
+        raw: 1-D array with k elements per complex sample, in wideband
+        format `fmt` (fastpath._iq_to_ri).
 
-        The mixer-bank path (offsets without pfb_channels) keeps the
-        stateless per-call behaviour."""
+        On the native plane the ENTIRE per-chunk pipeline — dequantize,
+        PFB, resample, demod, sync, FEC, packing — dispatches as ONE
+        device program (fastpath.submit_iq): one upload, one dispatch,
+        one fetched bundle per chunk. The python plane demods on device
+        and walks host-side. The mixer-bank path (offsets without
+        pfb_channels) keeps the stateless per-call behaviour."""
+        from tetra_tpu.fastpath import _iq_to_ri
         if self.pfb_channels is None:
             if len(raw) == 0:
                 return self.process_bits(
                     np.zeros((len(self.carriers), 0), np.uint8),
                     final=final)
-            re, im = to_ri(raw)
+            re, im = _iq_to_ri(fmt, jnp.asarray(raw))
             return self.process_bits(self._demod_ri(re, im), final=final)
         n = self.n_chan
         BLOCK = 25 * n
@@ -230,22 +260,17 @@ class MultiCarrierReceiver:
             return [rx.stats for rx in self.carriers]
         self._wb_rem = data[usable * k:]
         chunk = data[: usable * k]
-        if self._wb_hist is None:
-            bits = self._demod_ri(*to_ri(chunk))
-            if usable % BLOCK == 0:
-                # bits(L) is affine on BLOCK-aligned lengths with slope
-                # 36/BLOCK, so the first call yields G(W) — the exact
-                # per-carrier bit count every continuation must drop —
-                # with no probe run: G(W) = L0 - 36*(usable0 - W)/BLOCK
-                self._wb_g = bits.shape[1] - 36 * (usable // BLOCK - 2)
-        else:
-            feed = np.concatenate([self._wb_hist, chunk])
-            bits = self._demod_ri(*to_ri(feed))
-            keep = bits.shape[1] - self._wb_g
-            bits = bits[:, bits.shape[1] - max(keep, 0):]
-        hist_src = (chunk if len(chunk) >= W * k else
-                    np.concatenate([self._wb_hist if self._wb_hist is
-                                    not None else chunk[:0], chunk]))
+        first = self._wb_hist is None
+        feed = chunk if first else np.concatenate([self._wb_hist, chunk])
+        nbits = _pfb_demod_bits_len(len(feed) // k, n, self.fs, self.sps)
+        keep = nbits if first else max(nbits - self._wb_g, 0)
+        if first and usable % BLOCK == 0:
+            # bits(L) is affine on BLOCK-aligned lengths with slope
+            # 36/BLOCK, so the first call yields G(W) — the exact
+            # per-carrier bit count every continuation must drop —
+            # with no probe run: G(W) = L0 - 36*(usable0 - W)/BLOCK
+            self._wb_g = nbits - 36 * (usable // BLOCK - 2)
+        hist_src = chunk if len(chunk) >= W * k else feed
         self._wb_hist = hist_src[-W * k:]
         if final:
             # each stream restarts cleanly: a one-shot final call with a
@@ -253,6 +278,15 @@ class MultiCarrierReceiver:
             # set without _wb_g, and any post-final continuation would
             # splice with a misaligned hop/resampler phase
             self._reset_wb_stream()
+        if self.control_plane == "native":
+            self._prefetch_pending()
+            if not hasattr(self, "_chan_idx_d"):
+                self._chan_idx_d = jnp.asarray(self.pfb_channels)
+            h = self._fast.submit_iq(feed, fmt, keep, self._chan_idx_d,
+                                     n, self.fs, sps=self.sps)
+            return self._native_drain(h, final)
+        bits = self._demod_ri(*_iq_to_ri(fmt, jnp.asarray(feed)))
+        bits = np.asarray(bits, np.uint8)[:, bits.shape[1] - keep:]
         return self.process_bits(bits, final=final)
 
     def _reset_wb_stream(self):
@@ -274,22 +308,29 @@ class MultiCarrierReceiver:
             bits = np.asarray(bits, dtype=np.uint8)
         assert bits.ndim == 2 and bits.shape[0] == len(self.carriers)
         if self.control_plane == "native":
-            if self._pending:
-                # prefetch hint: start the pending bundle's d2h copy
-                # while this chunk's host-side packing runs
-                try:
-                    self._pending[0].bundle.copy_to_host_async()
-                except Exception:
-                    pass
-            h = self._fast.submit(bits)
-            if h is not None:
-                self._pending.append(h)
-            while self._pending and (final or len(self._pending) > 1):
-                self._collect_walk(self._pending.pop(0))
-            return [rx.stats for rx in self.carriers]
+            self._prefetch_pending()
+            return self._native_drain(self._fast.submit(bits), final)
         if isinstance(bits, jax.Array):
             bits = np.asarray(bits, np.uint8)   # host walk needs numpy
         return self._process_bits_python(bits)
+
+    def _prefetch_pending(self):
+        """Start the pending bundle's d2h copy while this chunk's
+        host-side packing runs."""
+        if self._pending:
+            try:
+                self._pending[0].bundle.copy_to_host_async()
+            except Exception:
+                pass
+
+    def _native_drain(self, h, final: bool) -> list[RxStats]:
+        """Queue one dispatched chunk handle and drain the pipeline to
+        depth one (or fully, when final)."""
+        if h is not None:
+            self._pending.append(h)
+        while self._pending and (final or len(self._pending) > 1):
+            self._collect_walk(self._pending.pop(0))
+        return [rx.stats for rx in self.carriers]
 
     def _process_bits_python(self, bits) -> list[RxStats]:
         """Python control plane: all carriers synchronise in one device
