@@ -423,6 +423,28 @@ def main():
         "device": str(jax.devices()[0]),
     }
 
+    # ---- link calibration: the tunnel's EFFECTIVE bandwidth in the
+    # hot regime (programs executing), measured at the sizes the
+    # streaming stages actually move. Ingest numbers are tunnel-bound
+    # on this rig, so cross-round comparability needs the link figure
+    # recorded NEXT to them: report ingest both raw and link-normalized
+    # to separate rig weather from code changes ----
+    cal = np.empty((8 << 20,), np.int8)
+    d_cal = jax.device_put(cal)
+    d_cal.block_until_ready()
+    t_h2d = _median_time(lambda: jax.device_put(cal).block_until_ready(),
+                         reps=3)
+    link_h2d_mbps = cal.nbytes / t_h2d / 1e6
+    t_d2h = _median_time(lambda: np.asarray(d_cal), reps=3)
+    link_d2h_mbps = cal.nbytes / t_d2h / 1e6
+    del d_cal
+    result["link_h2d_mbps"] = round(link_h2d_mbps, 1)
+    result["link_d2h_mbps"] = round(link_d2h_mbps, 1)
+    result["ingest_carriers_per_h2d_mbps"] = round(
+        ingest_carriers / link_h2d_mbps, 2)
+    result["ingest4_carriers_per_h2d_mbps"] = round(
+        ingest4_carriers / link_h2d_mbps, 2)
+
     # ---- stage 8: integrated end-to-end (the one number that
     # composes everything: acquisition -> fused device chunk ->
     # native control plane; reference unit: tetra-rx.c:82-95) ----
@@ -466,11 +488,13 @@ def main():
     except Exception:
         pass
 
-    # ---- stage 10: integrated end-to-end from ONE packed 4+4-bit
+    # ---- stage 10: integrated end-to-end from ONE companded 4+4-bit
     # WIDEBAND capture (1 byte/complex sample h2d), channelized on
-    # device via the Pallas PFB — the production RF input format ----
+    # device via the Pallas PFB — the production RF input format on
+    # the clean protocol mix ----
+    mcw = None
     try:
-        mcw = bench_mc_e2e.run_wideband(n_car=512, n_frames=16,
+        mcw = bench_mc_e2e.run_wideband(n_car=1024, n_frames=16,
                                         n_chunks=4)
         result["mc_e2e_wideband_realtime_carriers"] = \
             mcw["realtime_carriers_e2e"]
@@ -478,6 +502,30 @@ def main():
         result["mc_e2e_wideband_crc_err"] = mcw["crc_err"]
         result["mc_e2e_wideband_h2d_bytes_per_carrier_s"] = \
             mcw["h2d_bytes_per_carrier_s"]
+    except Exception:
+        pass
+
+    # ---- stage 11: THE PRODUCTION FLAGSHIP — wideband RF in
+    # (companded 4+4-bit, 25 kB/s-carrier h2d), FULL protocol mix
+    # (traffic/voice/stolen/FRAG/relock/encrypted), on-device PFB,
+    # native control plane with hot-path decryption; zero CRC errors
+    # required. Composes stages 9 + 10; trimmed to stage 10's capture
+    # length so both share one compiled program set ----
+    try:
+        mcp = bench_mc_e2e.run_prod(
+            n_car=1024, n_frames=16, n_chunks=4,
+            trim_to=mcw["bits_per_carrier"] if mcw else None)
+        result["mc_e2e_prod_realtime_carriers"] = \
+            mcp["realtime_carriers_e2e"]
+        result["mc_e2e_prod_mbits_per_s"] = mcp["mbits_per_s"]
+        result["mc_e2e_prod_crc_ok"] = mcp["crc_ok"]
+        result["mc_e2e_prod_crc_err"] = mcp["crc_err"]
+        result["mc_e2e_prod_h2d_bytes_per_carrier_s"] = \
+            mcp["h2d_bytes_per_carrier_s"]
+        result["mc_e2e_prod_traffic_slots"] = mcp["traffic_slots"]
+        result["mc_e2e_prod_tl_sdus"] = mcp["tl_sdus"]
+        result["mc_e2e_prod_frag_ends"] = mcp["frag_ends"]
+        result["mc_e2e_prod_encrypted_carriers"] = mcp["n_encrypted"]
     except Exception:
         pass
 

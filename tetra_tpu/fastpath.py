@@ -77,7 +77,8 @@ def max_slots(steps: int, feed: int) -> int:
 
 
 def _fused_chunk_body(ring, chunk, end_rel, rebase, st0, bs0, nb0, nfs0,
-                      fed_rel, scr0, steps: int, feed: int, g_rows: int):
+                      fed_rel, scr0, steps: int, feed: int, g_rows: int,
+                      car_offset=0):
     """One ingest chunk, fully fused on device (trace-level body shared
     by the packed-bits and IQ-front-end entry points).
 
@@ -224,12 +225,16 @@ def _fused_chunk_body(ring, chunk, end_rel, rebase, st0, bs0, nb0, nfs0,
              | (pk[:, _PACK_BITS].astype(jnp.int32) << 2)
              | (pk[:, _PACK_BITS + 1].astype(jnp.int32) << 3)
              | (gvalid.astype(jnp.int32) << 4))
+    # car_offset globalises carrier ids when the body runs as one shard
+    # of a carrier-sharded mesh program (shard-local rows carry GLOBAL
+    # carrier numbers so the host walk needs no shard arithmetic)
+    gcar_g = gcar + car_offset
     row = jnp.concatenate([
         pay_b.astype(jnp.uint8),
         flags.astype(jnp.uint8)[:, None],
         jnp.clip(delta[:, None], 0, 255).astype(jnp.uint8),
-        (gcar & 255).astype(jnp.uint8)[:, None],
-        (gcar >> 8).astype(jnp.uint8)[:, None]], axis=1)    # [G, 40]
+        (gcar_g & 255).astype(jnp.uint8)[:, None],
+        (gcar_g >> 8).astype(jnp.uint8)[:, None]], axis=1)    # [G, 40]
     side = jnp.stack([n_slots, tail, st, bs, nb, nfs, si,
                       lax.bitcast_convert_type(scr_final, jnp.int32)],
                      axis=1)
@@ -281,7 +286,11 @@ def _iq_frontend(raw, channel_idx, fmt: str, n_chan: int, fs: float,
     from tetra_tpu.phy.pfb import pfb_to_demod_rate_ri
     re, im = _iq_to_ri(fmt, raw)
     cr, ci = pfb_to_demod_rate_ri(re, im, channel_idx, n_chan, fs)
-    return dqpsk.demodulate_hard_ri(cr, ci, sps=sps)
+    # os=4: the 50k->36k resampler leaves the symbol clock at an
+    # arbitrary fractional offset; without sub-sample timing the
+    # per-carrier phase pick can land between the sps=2 phases and
+    # deterministically flip marginal bits (dqpsk.demodulate_hard_ri)
+    return dqpsk.demodulate_hard_ri(cr, ci, sps=sps, os=4)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -306,6 +315,48 @@ def fused_chunk_iq(ring, raw, channel_idx, end_rel, rebase, st0, bs0, nb0,
         chunk = jnp.pad(chunk, ((0, 0), (0, lc_pad - keep)))
     return _fused_chunk_body(ring, chunk, end_rel, rebase, st0, bs0, nb0,
                              nfs0, fed_rel, scr0, steps, feed, g_rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_fused_chunk(mesh, axis: str, steps: int, feed: int,
+                         g_rows: int, lc_pad: int):
+    """shard_map-wrapped fused chunk over the mesh's carrier axis.
+
+    Each shard runs the WHOLE chunk program — sync scan, slot
+    compaction, SB1 pre-decode, scrambling fill, FEC, packing — on its
+    carrier slice with a LOCAL row budget g_rows/nshards, so the
+    compaction argsort never crosses shards and the program contains
+    ZERO collectives: carriers are independent receivers (the
+    reference's scaling mechanism is one OS process chain per carrier,
+    src/receiver1:8 — here one mesh shard per carrier group). The
+    fetched bundle is the in-order concatenation of per-shard bundles;
+    rows carry global carrier ids via car_offset, so decisions are
+    bit-identical to the unsharded program (same per-carrier math,
+    same carrier-major row order)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    ns = int(mesh.shape[axis])
+    assert g_rows % ns == 0
+    gl = g_rows // ns
+
+    def body(ring, packed, end_rel, rebase, st, bs, nb, nfs, fed_rel, scr):
+        B = ring.shape[0]
+        car0 = lax.axis_index(axis) * B
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        chunk = ((packed[..., None] >> shifts) & 1).reshape(B, lc_pad)
+        return _fused_chunk_body(ring, chunk, end_rel, rebase, st, bs,
+                                 nb, nfs, fed_rel, scr, steps, feed, gl,
+                                 car_offset=car0)
+
+    c, r = P(axis), P()
+    # check_vma off: the replicated scan carries inside sync_scan /
+    # the Viterbi ACS would otherwise need pcast annotations — every
+    # output here is genuinely carrier-varying, nothing is psum'd
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(c, c, r, r, c, c, c, c, r, c),
+                   out_specs=(c, c, (c, c, c, c, c), c, c),
+                   check_vma=False)
+    return jax.jit(fn)
 
 
 @functools.partial(jax.jit, static_argnames=("fmt", "n_chan", "fs", "sps",
@@ -343,15 +394,45 @@ class FastChunkPipeline:
     h2d, deferred single-fetch results. Submit chunks with `submit`,
     fetch+decode with `collect` (callers pipeline the two)."""
 
-    def __init__(self, n_carriers: int, feed: int = FEED_BITS):
+    def __init__(self, n_carriers: int, feed: int = FEED_BITS,
+                 mesh=None, mesh_axis: str = "car"):
+        """mesh: optional jax.sharding.Mesh — the chunk program then
+        runs carrier-sharded via shard_map (_sharded_fused_chunk), with
+        per-shard row budgets and a concatenated bundle; n_carriers
+        must divide evenly across the mesh axis."""
         self.n = n_carriers
         self.feed = feed
-        self.ring = jnp.zeros((n_carriers, RING_PAD), jnp.int8)
-        z = lambda v=0: jnp.full(n_carriers, v, jnp.int32)
-        # (state, buf_start, bits_in_buf, next_frame_start, scramb);
-        # positions are rel carry_base; abs position 0 == rel RING_PAD
-        self.carry = (z(), z(RING_PAD), z(), z(RING_PAD),
-                      jnp.zeros(n_carriers, jnp.uint32))
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self.shards = int(mesh.shape[mesh_axis]) if mesh is not None else 1
+        assert n_carriers % self.shards == 0
+        # multi-process mesh (jax.distributed): device state must be
+        # created as GLOBAL arrays, chunk payloads stay numpy
+        # (uncommitted -> replicated), and results are read per process
+        # via collect_local
+        self.multiproc = (mesh is not None and any(
+            d.process_index != jax.process_index()
+            for d in mesh.devices.flat))
+        if self.multiproc:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def mk(val):
+                sh = NamedSharding(mesh, P(mesh_axis)
+                                   if val.ndim else P())
+                return jax.make_array_from_callback(
+                    val.shape, sh, lambda idx: val[idx])
+            self.ring = mk(np.zeros((n_carriers, RING_PAD), np.int8))
+            z = lambda v=0: mk(np.full(n_carriers, v, np.int32))
+            self.carry = (z(), z(RING_PAD), z(), z(RING_PAD),
+                          mk(np.zeros(n_carriers, np.uint32)))
+        else:
+            self.ring = jnp.zeros((n_carriers, RING_PAD), jnp.int8)
+            z = lambda v=0: jnp.full(n_carriers, v, jnp.int32)
+            # (state, buf_start, bits_in_buf, next_frame_start, scramb);
+            # positions are rel carry_base; abs position 0 == rel
+            # RING_PAD
+            self.carry = (z(), z(RING_PAD), z(), z(RING_PAD),
+                          jnp.zeros(n_carriers, jnp.uint32))
         self.carry_base = -RING_PAD  # window base the carry is rel to
         self.end = 0                 # abs position of the stream end
         self.fed = 0                 # abs scan position (host-tracked)
@@ -385,11 +466,20 @@ class FastChunkPipeline:
                                 np.int32(Lc), lc_pad)
             self.end += Lc
             return None
-        packed_d = jnp.asarray(packed)
+        # multi-process: numpy stays uncommitted (replicated into the
+        # global program); a committed local-device array would clash
+        # with the multi-host mesh
+        packed_d = packed if self.multiproc else jnp.asarray(packed)
         feed = self.feed
+        mesh, axis = self.mesh, self.mesh_axis
 
         def make_fn(ring0, rebase, end_rel, fed_rel, st, bs, nb, nfs):
             def dispatch(scr, g_rows):
+                if mesh is not None:
+                    fn = _sharded_fused_chunk(mesh, axis, steps, feed,
+                                              g_rows, lc_pad)
+                    return fn(ring0, packed_d, end_rel, rebase, st, bs,
+                              nb, nfs, fed_rel, scr)
                 return fused_chunk(ring0, packed_d, end_rel, rebase,
                                    st, bs, nb, nfs, fed_rel, scr,
                                    steps, feed, g_rows, lc_pad)
@@ -458,14 +548,15 @@ class FastChunkPipeline:
     def collect(self, h: ChunkHandle) -> dict:
         """Fetch one chunk's bundle and decode it to numpy arrays:
         {carrier, kind, okA, okB, delta, payload [n, 408], slot_ref,
-         n_slots [B], tail [B], scramb [B]}."""
-        G = h.g_rows
-        arr = np.asarray(h.bundle)
-        rows = arr[:G * ROW_BYTES].view(np.uint8).reshape(G, ROW_BYTES)
-        side = arr[G * ROW_BYTES:].view(np.int32).reshape(-1, SIDE_I32)
-        n_slots = side[:, 0]
-        total = int(n_slots.sum())
-        if total > G:
+         n_slots [B], tail [B], scramb [B]}.
+
+        Sharded pipelines fetch the concatenation of per-shard
+        bundles; valid rows form a prefix of each shard segment and
+        slot_refs index the stacked per-shard t4 arrays."""
+        ns = self.shards
+        segs = np.asarray(h.bundle).reshape(ns, -1)
+        d = self._decode_segments(h.g_rows, segs, np.arange(ns))
+        if d is None:
             # budget overflow (synchronized relock backlog): re-run the
             # chunk from its saved inputs with the sufficient B*maxs
             # budget, mutating the handle in place so slot_refs keep
@@ -475,13 +566,63 @@ class FastChunkPipeline:
             # carry IS filled from the first G compacted rows only, so
             # its corrected value must be re-committed through every
             # chunk already dispatched with the stale carry.
-            if h.inputs is None or G >= side.shape[0] * h.maxs:
+            if h.inputs is None or h.g_rows >= self.n * h.maxs:
                 raise RuntimeError("slot compaction overflow (bound bug)")
             self._overflow_rerun(h)
             return self.collect(h)
         if h in self._outstanding:
             self._outstanding.remove(h)
-        sel = rows[:total]
+        return d
+
+    def collect_local(self, h: ChunkHandle) -> dict:
+        """Multi-process variant of collect: decode ONLY this process's
+        addressable shards. The carrier axis is embarrassingly parallel
+        (the reference scales by one OS process per carrier,
+        src/receiver1:8), so each process walks its own carriers and
+        never fetches remote shards. Extra key "side_carrier" maps the
+        returned n_slots/tail/scramb entries to global carrier ids."""
+        ns = self.shards
+        gl = h.g_rows // ns
+        seg_len = gl * ROW_BYTES + (self.n // ns) * 4 * SIDE_I32
+        shards = sorted(h.bundle.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        ids = np.asarray([(s.index[0].start or 0) // seg_len
+                          for s in shards], np.int32)
+        segs = np.stack([np.asarray(s.data) for s in shards])
+        d = self._decode_segments(h.g_rows, segs, ids)
+        if d is None:
+            # a re-run would have to be agreed on by EVERY process
+            # (divergent dispatch deadlocks the SPMD program) — size
+            # G_SLACK for the workload instead
+            raise RuntimeError("row-budget overflow on a multi-process "
+                               "mesh; raise the budget slack")
+        if h in self._outstanding:
+            self._outstanding.remove(h)
+        return d
+
+    def _decode_segments(self, G: int, segs, ids) -> dict | None:
+        """Parse per-shard bundle segments (shard ids `ids`) into the
+        collect dict; None signals a row-budget overflow."""
+        ns = self.shards
+        gl = G // ns
+        Bl = self.n // ns
+        k = len(ids)
+        rows = np.ascontiguousarray(segs[:, :gl * ROW_BYTES]) \
+            .view(np.uint8).reshape(k, gl, ROW_BYTES)
+        side = np.ascontiguousarray(segs[:, gl * ROW_BYTES:]) \
+            .view(np.int32).reshape(k, Bl, SIDE_I32)
+        tot_s = side[..., 0].sum(axis=1)                # rows per shard
+        if (tot_s > gl).any():
+            return None
+        n_slots = side[..., 0].reshape(-1)
+        side_carrier = (ids[:, None] * Bl
+                        + np.arange(Bl, dtype=np.int32)).reshape(-1)
+        sel = np.concatenate([rows[i, :tot_s[i]] for i in range(k)])
+        slot_ref = np.concatenate(
+            [ids[i] * gl + np.arange(tot_s[i], dtype=np.int32)
+             for i in range(k)])
+        total = len(sel)
+        side = side.reshape(-1, SIDE_I32)
         f = sel[:, _SEC_BYTES].astype(np.int32)
         assert (f & 16).all(), "valid rows must form a prefix"
         cars = (sel[:, _SEC_BYTES + 2].astype(np.int32)
@@ -491,16 +632,16 @@ class FastChunkPipeline:
         # walk and the GSMTAP exporter address into
         sec = np.unpackbits(np.ascontiguousarray(sel[:, :_SEC_BYTES]),
                             axis=1)
-        k = f & 3
+        kk = f & 3
         payload = np.zeros((total, 408), np.uint8)
-        m = k == 0
+        m = kk == 0
         payload[m, 0:60] = sec[m, 0:60]
         payload[m, 268:392] = sec[m, 60:184]
         payload[m, 392:406] = sec[m, 184:198]
-        m = k == 1
+        m = kk == 1
         payload[m, 0:268] = sec[m, 0:268]
         payload[m, 392:406] = sec[m, 268:282]
-        m = k == 2
+        m = kk == 2
         payload[m, 0:124] = sec[m, 0:124]
         payload[m, 268:392] = sec[m, 124:248]
         payload[m, 392:406] = sec[m, 248:262]
@@ -508,12 +649,13 @@ class FastChunkPipeline:
             "carrier": cars,
             "okA": (f >> 2) & 1,
             "okB": (f >> 3) & 1,
-            "kind": k,
+            "kind": kk,
             "delta": sel[:, _SEC_BYTES + 1].astype(np.int32),
             "payload": payload,
-            "slot_ref": np.arange(total, dtype=np.int32),
+            "slot_ref": slot_ref,
             "n_slots": n_slots, "tail": side[:, 1],
             "scramb": side[:, 7].view(np.uint32),
+            "side_carrier": side_carrier,
         }
 
     def _dispatch(self, h: ChunkHandle, g_rows: int,

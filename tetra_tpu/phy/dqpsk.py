@@ -190,8 +190,8 @@ def demodulate(iq, sps: int = 2, est_cfo: bool = True):
                          sps=sps, est_cfo=est_cfo)
 
 
-@functools.partial(jax.jit, static_argnames=("sps",))
-def demodulate_hard_ri(re, im, sps: int = 2):
+@functools.partial(jax.jit, static_argnames=("sps", "os"))
+def demodulate_hard_ri(re, im, sps: int = 2, os: int = 1):
     """Trig-free hard-decision demodulator: planar baseband -> dibits.
 
     pi/4-DQPSK hard decisions are pure sign tests on the differential
@@ -199,21 +199,41 @@ def demodulate_hard_ri(re, im, sps: int = 2):
     equivalent to the angle+slicer path (float_to_bits.c thresholds) but
     with no atan2. Timing selection uses |sin 2θ| = 2|dr·di|/|d|², also
     trig-free. Returns ubits [..., 2*(T//sps)].
+
+    os > 1 adds fractional timing: an os-x bank of fractionally-shifted
+    RRC matched filters interpolates between input samples and ONE of
+    sps*os phases is picked per carrier. With sps=2 alone, a
+    half-sample symbol-clock offset lands exactly between the two
+    available phases and the decision margin collapses on the worst
+    symbols (measured through the PFB front end: min margin 0.62 at
+    the right phase vs ~0.001 at the wrong one) — os=4 bounds the
+    sampling error at T/16, the same trade as _slotwise_phasors. Use
+    os=4 wherever upstream resampling leaves the symbol clock at an
+    arbitrary offset (the wideband paths); os=1 is bit-compatible with
+    the Pallas kernel (demod_pallas) for phase-aligned steady streams.
     """
-    taps = rrc_taps(sps)
-    fr = _fir_real(re, taps)
-    fi = _fir_real(im, taps)
+    tap_bank = [rrc_taps(sps, frac_shift=k / os) for k in range(os)]
+
+    def mf(x):
+        fs = [_fir_real(x, tp) for tp in tap_bank]
+        if os == 1:
+            return fs[0]
+        return jnp.stack(fs, axis=-1).reshape(
+            *fs[0].shape[:-1], os * fs[0].shape[-1])
+
+    fr, fi = mf(re), mf(im)
+    sps2 = os * sps
 
     def lag(x):
-        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(sps, 0)])[..., :-sps]
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(sps2, 0)])[..., :-sps2]
 
     lr, li = lag(fr), lag(fi)
     dr = fr * lr + fi * li
     di = fi * lr - fr * li
 
-    n = (dr.shape[-1] // sps) * sps
-    drp = dr[..., :n].reshape(*dr.shape[:-1], n // sps, sps)
-    dip = di[..., :n].reshape(*di.shape[:-1], n // sps, sps)
+    n = (dr.shape[-1] // sps2) * sps2
+    drp = dr[..., :n].reshape(*dr.shape[:-1], n // sps2, sps2)
+    dip = di[..., :n].reshape(*di.shape[:-1], n // sps2, sps2)
     mag2 = drp * drp + dip * dip
     score = jnp.mean(2.0 * jnp.abs(drp * dip) / (mag2 + 1e-12), axis=-2)
     best = jnp.argmax(score, axis=-1).astype(jnp.int32)

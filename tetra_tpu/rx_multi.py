@@ -50,7 +50,7 @@ def _pfb_demod_bits_len(n_samples: int, n_chan: int, fs: float,
     def f(re, im):
         cr, ci = pfb_mod.pfb_to_demod_rate_ri(
             re, im, jnp.zeros(1, jnp.int32), n_chan, fs)
-        return dqpsk.demodulate_hard_ri(cr, ci, sps=sps)
+        return dqpsk.demodulate_hard_ri(cr, ci, sps=sps, os=4)
 
     s = jax.ShapeDtypeStruct((n_samples,), jnp.float32)
     return int(jax.eval_shape(f, s, s).shape[-1])
@@ -64,7 +64,7 @@ class MultiCarrierReceiver:
                  control_plane: str = "python",
                  gsmtap_host: str | None = None,
                  decode_voice: bool = False,
-                 tl_sdu_sink=None):
+                 tl_sdu_sink=None, mesh=None):
         self.offsets = np.asarray(offsets_hz, dtype=np.float32)
         self.fs = float(fs)
         self.sps = sps
@@ -134,7 +134,10 @@ class MultiCarrierReceiver:
                 from tetra_tpu.io.gsmtap import GsmtapSink
                 self.gsmtap = GsmtapSink(gsmtap_host)
                 self.native_cp.set_gsmtap(True)
-            self._fast = FastChunkPipeline(n_carriers)
+            # mesh: carrier-shard the fused chunk program over a device
+            # mesh (fastpath._sharded_fused_chunk) — bit-identical
+            # events, per-shard row budgets
+            self._fast = FastChunkPipeline(n_carriers, mesh=mesh)
             self._pending = []
         else:
             self.sync = MultiSync(n_carriers)
@@ -205,8 +208,10 @@ class MultiCarrierReceiver:
             out_r, out_i = channelizer.channelize_ri(
                 re, im, jnp.asarray(self.offsets), fs=self.fs)
         # stays DEVICE-resident: the native fastpath packs on device,
-        # so the demod -> decode handoff never crosses the link
-        return dqpsk.demodulate_hard_ri(out_r, out_i, sps=self.sps)
+        # so the demod -> decode handoff never crosses the link.
+        # os=4 fractional timing: upstream resampling leaves the symbol
+        # clock at an arbitrary sub-sample offset (see fastpath notes)
+        return dqpsk.demodulate_hard_ri(out_r, out_i, sps=self.sps, os=4)
 
     def _wideband_stream(self, raw, k: int, fmt: str, final: bool):
         """Overlap-save streaming for the PFB front end: chunk
