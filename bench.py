@@ -474,8 +474,7 @@ def main():
     # (reference workload: tetra_lower_mac.c:178-352) ----
     try:
         mcm = bench_mc_e2e.run_mixed(
-            n_car=1024, n_frames=16, n_chunks=4,
-            trim_to=mc["bits_per_carrier"])
+            n_car=1024, n_frames=16, n_chunks=4)
         result["mc_e2e_mixed_realtime_carriers"] = \
             mcm["realtime_carriers_e2e"]
         result["mc_e2e_mixed_mbits_per_s"] = mcm["mbits_per_s"]
@@ -513,8 +512,7 @@ def main():
     # length so both share one compiled program set ----
     try:
         mcp = bench_mc_e2e.run_prod(
-            n_car=1024, n_frames=16, n_chunks=4,
-            trim_to=mcw["bits_per_carrier"] if mcw else None)
+            n_car=1024, n_frames=16, n_chunks=4)
         result["mc_e2e_prod_realtime_carriers"] = \
             mcp["realtime_carriers_e2e"]
         result["mc_e2e_prod_mbits_per_s"] = mcp["mbits_per_s"]

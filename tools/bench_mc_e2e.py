@@ -34,8 +34,48 @@ KEYSTORE = (f"network mcc {MCC} mnc {MNC} ksg_type 1 security_class 2\n"
             f"key {SCK.hex().upper()}\n")
 
 
+HEAD_NOISE = 731
+
+
+def common_len(n_frames):
+    """Shared per-carrier capture length across ALL e2e stages: the
+    mixed stream's natural length (the longest fixture: head noise +
+    double-SYNC + n_frames frames + relock noise) plus a wide noise
+    tail, rounded even. Every stage pads its rows to this length with
+    circular_safe_pad, so the fused-chunk programs compile ONCE on the
+    rig and per-carrier circular rolls never truncate a burst. The
+    tail is wide (~3 kbit) so safe_rolls has a big window to spread
+    carrier content shifts over (composite Gaussianity)."""
+    L = HEAD_NOISE + 510 + n_frames * 2040 + 443 + 2921
+    return L + (L % 2)
+
+
+def safe_rolls(n_car, L, n_tail, head=HEAD_NOISE, guard=64):
+    """Per-carrier circular roll offsets whose START position lands in
+    the capture's screened noise (tail span or head span).
+
+    The receiver then begins UNLOCKED in noise, acquires on the
+    double-SYNC head (first SYNC consumed by acquisition — the
+    reference skips the acquisition burst, tetra_burst_sync.c:80-91 —
+    the second SYNC decodes SB1 and sets the cell scrambling code
+    before any normal burst), and the stream END falls in noise too.
+    An arbitrary roll would cold-start the receiver mid-frame: up to 3
+    slots decode before any SB1 sets the scrambling code, and whether
+    those garbage decodes count CRC-wrong depends on what the
+    garbage-descrambled AACH happens to say — reference-faithful, but
+    a nondeterministic invariant for a 0-CRC-error capture."""
+    W = n_tail + head - 2 * guard
+    start0 = L - n_tail + guard
+    pos = (start0 + (np.arange(n_car, dtype=np.int64) * 997
+                     + np.arange(n_car) % 17) % W)
+    return (L - pos % L) % L
+
+
 def make_stream(rng, n_frames):
-    """One carrier's bit stream: garbage, then n_frames TDMA frames of
+    """One carrier's bit stream: garbage, a double-SYNC head
+    (acquisition consumes the first SYNC — tetra_burst_sync.c:80-91 —
+    the second decodes SB1 so the cell scrambling code is set before
+    the first normal burst), then n_frames TDMA frames of
     [SYNC, SCH_F, SCH_F, SCH_F] bursts."""
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -47,13 +87,43 @@ def make_stream(rng, n_frames):
             testpdu.make_resource_pdu(ssi=0x400 + i),
             testpdu.make_access_assign_bits(), jnp.uint32(INIT)), np.uint8)
             for i in range(4)]
-    frames = []
+    frames = [sync]
     for f in range(n_frames):
         frames.append(sync)
         for tn in range(3):
             frames.append(schf[(f + tn) % 4])
-    return np.concatenate([rng.integers(0, 2, 731).astype(np.uint8)]
+    return np.concatenate([rng.integers(0, 2, HEAD_NOISE).astype(np.uint8)]
                           + frames)
+
+
+def circular_safe_pad(row, rng, n_tail=737):
+    """Append a clean-noise tail (even total length) and verify the
+    CIRCULAR junction regions contain no training-sequence match, so
+    the per-carrier circular rolls the multi-carrier fixtures apply
+    never cut a burst mid-slot or fabricate a false lock:
+
+    * without a tail the stream ends ON a burst boundary, and any roll
+      that truncates the stream (or an even-length trim) cuts that
+      final burst — a locked receiver then matches the training
+      sequence of the half-present burst and emits a garbage slot
+      (CRC wrong), which is exactly the mixed/wideband bench's failure
+      mode before this pad;
+    * with the tail, the roll junction is noise -> head-noise, i.e. a
+      plain relock the capture already exercises.
+
+    Checked spans: the tail itself, the last-burst -> tail crossing,
+    and the tail-end -> stream-head circular crossing."""
+    from tetra_tpu.phy.sync import compute_match_map
+    if (len(row) + n_tail) % 2:
+        n_tail += 1
+    while True:
+        tail = rng.integers(0, 2, n_tail).astype(np.uint8)
+        cross_in = np.concatenate([row[-48:], tail[:48]])
+        cross_junc = np.concatenate([tail[-48:], row[:48]])
+        if not (compute_match_map(tail).any()
+                or compute_match_map(cross_in).any()
+                or compute_match_map(cross_junc).any()):
+            return np.concatenate([row, tail])
 
 
 def _encrypt_pdu(pdu, tn, fn, mn, skip=0, end=None):
@@ -228,11 +298,14 @@ def run(n_car=1024, n_frames=8, n_chunks=4):
     bench.py for the headline integrated number)."""
     rng = np.random.default_rng(0)
     row = make_stream(rng, n_frames)
+    n_tail = common_len(n_frames) - len(row)
+    row = circular_safe_pad(row, rng, n_tail)
     bits = np.tile(row, (n_car, 1))
-    # stagger carriers a little so offsets differ (realistic lock state)
+    # stagger carriers so lock offsets differ (every start lands in
+    # screened noise — see safe_rolls)
+    rolls = safe_rolls(n_car, bits.shape[1], n_tail)
     for c in range(n_car):
-        bits[c] = np.roll(bits[c], c % 17)
-        bits[c, : c % 17] = rng.integers(0, 2, c % 17)
+        bits[c] = np.roll(bits[c], rolls[c])
     T = bits.shape[1]
     cuts = np.linspace(0, T, n_chunks + 1).astype(int)
 
@@ -277,39 +350,43 @@ def run(n_car=1024, n_frames=8, n_chunks=4):
 
 def mixed_batch(n_car, n_frames, enc_frac=0.1, seed=0):
     """[n_car, L] mixed-protocol bits; the last ceil(enc_frac * n_car)
-    carriers run the TEA1-encrypted variant."""
+    carriers run the TEA1-encrypted variant. Rows are padded to
+    common_len(n_frames) with junction-checked noise BEFORE the
+    per-carrier circular roll, so the roll never cuts a burst."""
     rng = np.random.default_rng(seed)
     plain = make_mixed_stream(rng, n_frames, encrypted=False)
     enc = make_mixed_stream(np.random.default_rng(seed + 1), n_frames,
                             encrypted=True)
-    L = min(len(plain), len(enc))
+    L = common_len(n_frames)
+    len_nat = len(plain)
+    plain = circular_safe_pad(plain, rng, L - len(plain))
+    enc = circular_safe_pad(enc, np.random.default_rng(seed + 2),
+                            L - len(enc))
     n_enc = max(1, int(round(n_car * enc_frac)))
     bits = np.empty((n_car, L), np.uint8)
-    bits[: n_car - n_enc] = plain[:L]
-    bits[n_car - n_enc:] = enc[:L]
+    bits[: n_car - n_enc] = plain
+    bits[n_car - n_enc:] = enc
+    # LARGE per-carrier circular stagger — varies lock offsets AND
+    # decorrelates carrier content, so the wideband composite the
+    # prod stage synthesizes from this batch sums Gaussian instead
+    # of a Dirichlet pulse train (see run_wideband's note). Starts
+    # confined to the screened noise window (safe_rolls) so no
+    # carrier cold-starts mid-frame.
+    rolls = safe_rolls(n_car, L, L - len_nat)
     for c in range(n_car):
-        # LARGE per-carrier circular stagger — varies lock offsets AND
-        # decorrelates carrier content, so the wideband composite the
-        # prod stage synthesizes from this batch sums Gaussian instead
-        # of a Dirichlet pulse train (see run_wideband's note). The
-        # junction lands at the end-of-stream -> clean-noise boundary,
-        # one more relock per carrier.
-        bits[c] = np.roll(bits[c], (c * 997 + c % 17) % L)
+        bits[c] = np.roll(bits[c], rolls[c])
     return bits, n_enc
 
 
-def run_mixed(n_car=1024, n_frames=16, n_chunks=4, enc_frac=0.1,
-              trim_to=None):
+def run_mixed(n_car=1024, n_frames=16, n_chunks=4, enc_frac=0.1):
     """Timed end-to-end pass over the FULL protocol mix (NDB/SCH_HD,
     stolen/STCH, traffic+voice, FRAG/END chains, mid-stream relocks,
     >=10% TEA1-encrypted carriers) through the native control plane —
-    the non-sanitized integrated number. `trim_to` trims the capture
-    to the clean run's per-carrier length so both stages share the
-    SAME fused-chunk program shapes (one compile on the rig)."""
+    the non-sanitized integrated number. All stages share
+    common_len(n_frames) captures, so the fused-chunk programs compile
+    once on the rig."""
     import tempfile
     bits, n_enc = mixed_batch(n_car, n_frames, enc_frac)
-    if trim_to is not None and bits.shape[1] > trim_to:
-        bits = bits[:, :trim_to]
     T = bits.shape[1]
     cuts = np.linspace(0, T, n_chunks + 1).astype(int)
     ksf = tempfile.NamedTemporaryFile("w", suffix=".keys", delete=False)
@@ -402,16 +479,19 @@ def run_wideband(n_car=1024, n_frames=16, n_chunks=4):
     per-carrier ingest formats."""
     rng = np.random.default_rng(0)
     row = make_stream(rng, n_frames)
-    bits = np.tile(row[: len(row) & ~1], (n_car, 1))
+    n_tail = common_len(n_frames) - len(row)
+    row = circular_safe_pad(row, rng, n_tail)
+    bits = np.tile(row, (n_car, 1))
+    # LARGE per-carrier circular stagger: identical time-aligned
+    # content on every channel makes the composite a Dirichlet
+    # pulse train (measured kurtosis 44, 25-sigma peaks) that no
+    # fixed-point capture format survives; real carriers carry
+    # independent content and sum Gaussian. Starts confined to the
+    # screened noise window (safe_rolls) — never mid-burst, never a
+    # mid-frame cold start.
+    rolls = safe_rolls(n_car, bits.shape[1], n_tail)
     for c in range(n_car):
-        # LARGE per-carrier circular stagger: identical time-aligned
-        # content on every channel makes the composite a Dirichlet
-        # pulse train (measured kurtosis 44, 25-sigma peaks) that no
-        # fixed-point capture format survives; real carriers carry
-        # independent content and sum Gaussian. The junction lands in
-        # the stream's own noise span (a relock, which the capture
-        # already exercises).
-        bits[c] = np.roll(bits[c], (c * 997 + c % 17) % bits.shape[1])
+        bits[c] = np.roll(bits[c], rolls[c])
     T_bits = bits.shape[1]
     mc, stats, dt, S = _wideband_pass(bits, n_car, n_chunks)
     crc_ok = sum(s.crc_ok for s in stats)
@@ -429,8 +509,7 @@ def run_wideband(n_car=1024, n_frames=16, n_chunks=4):
     return res
 
 
-def run_prod(n_car=1024, n_frames=16, n_chunks=4, enc_frac=0.1,
-             trim_to=None):
+def run_prod(n_car=1024, n_frames=16, n_chunks=4, enc_frac=0.1):
     """THE production configuration end to end: ONE companded 4+4-bit
     wideband RF capture (25 kB/s-carrier h2d) carrying the FULL
     protocol mix — NDB/SCH_HD half-slot pairs, fully stolen STCH,
@@ -444,13 +523,11 @@ def run_prod(n_car=1024, n_frames=16, n_chunks=4, enc_frac=0.1,
     carrier, src/demod/osmosdr-tetra_demod_fft.py:64-96 +
     src/receiver1udp:71-78).
 
-    `trim_to` trims the capture to run_wideband's per-carrier bit
-    count so both stages share ONE compiled program set on the rig."""
+    mixed_batch pads to common_len(n_frames) — the same per-carrier
+    length as run_wideband — so both stages share ONE compiled program
+    set on the rig."""
     import tempfile
     bits, n_enc = mixed_batch(n_car, n_frames, enc_frac)
-    if trim_to is not None and bits.shape[1] > trim_to:
-        bits = bits[:, :trim_to]
-    bits = bits[:, : bits.shape[1] & ~1]
     T_bits = bits.shape[1]
     ksf = tempfile.NamedTemporaryFile("w", suffix=".keys", delete=False)
     ksf.write(KEYSTORE)
