@@ -504,6 +504,22 @@ def main():
     except Exception:
         pass
 
+    # ---- stage 10b: degraded input AT SCALE — the same wideband
+    # capture at 8 dB per-channel SNR through the fastpath SOFT mode
+    # (int8 soft demod + soft Viterbi + tolerant sync); crc_ok_frac is
+    # relative to the clean wideband stage on the same capture ----
+    try:
+        mcs = bench_mc_e2e.run_snr8(n_car=1024, n_frames=16, n_chunks=4)
+        result["mc_e2e_snr8_realtime_carriers"] = \
+            mcs["realtime_carriers_e2e"]
+        result["mc_e2e_snr8_crc_ok"] = mcs["crc_ok"]
+        result["mc_e2e_snr8_crc_err"] = mcs["crc_err"]
+        if mcw:
+            result["mc_e2e_snr8_crc_ok_frac"] = round(
+                mcs["crc_ok"] / max(mcw["crc_ok"], 1), 4)
+    except Exception:
+        pass
+
     # ---- stage 11: THE PRODUCTION FLAGSHIP — wideband RF in
     # (companded 4+4-bit, 25 kB/s-carrier h2d), FULL protocol mix
     # (traffic/voice/stolen/FRAG/relock/encrypted), on-device PFB,

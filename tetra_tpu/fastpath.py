@@ -78,7 +78,7 @@ def max_slots(steps: int, feed: int) -> int:
 
 def _fused_chunk_body(ring, chunk, end_rel, rebase, st0, bs0, nb0, nfs0,
                       fed_rel, scr0, steps: int, feed: int, g_rows: int,
-                      car_offset=0):
+                      car_offset=0, soft: bool = False, tol: int = 0):
     """One ingest chunk, fully fused on device (trace-level body shared
     by the packed-bits and IQ-front-end entry points).
 
@@ -93,17 +93,27 @@ def _fused_chunk_body(ring, chunk, end_rel, rebase, st0, bs0, nb0, nfs0,
     carrier-major; overflow is detected host-side from the per-carrier
     counts and re-run with the sufficient budget (see FastChunkPipeline).
 
+    soft=True: ring/chunk carry int8 SOFT reliabilities (positive =
+    bit 0, dqpsk.demodulate_soft_ri) instead of hard bits. Hard
+    decisions for the sync scan / SB1 pre-decode / t4 payloads derive
+    in-program as (soft < 0); the FEC decode gathers the soft window
+    byte-granularly and runs the soft Viterbi (decode_slots_fused
+    soft_input) — ~2 dB over hard slicing on noisy captures. tol:
+    training-sequence bit-error tolerance for the scan (soft mode
+    passes 2 so ~1e-2 hard BER does not break lock maintenance).
+
     Returns (bundle [G*ROW_BYTES + B*32] int8, new_ring, carry...,
     t4_full [G, 432] int8, t4_b2 [G, 216] int8).
     """
     B = ring.shape[0]
     G = g_rows
-    bits = jnp.concatenate([ring, chunk.astype(jnp.int8)], axis=1)
+    win = jnp.concatenate([ring, chunk.astype(jnp.int8)], axis=1)
+    bits = (win < 0).astype(jnp.int8) if soft else win
     L = bits.shape[1]
 
     (st, bs, nb, nfs, si, _), out = sync_scan(
         bits, st0, bs0 - rebase, nb0, nfs0 - rebase, st0 * 0,
-        fed_rel, steps, feed)
+        fed_rel, steps, feed, tol=tol)
 
     # ---- GLOBAL slot compaction: ONE argsort over carriers x steps.
     # Emitted slots get unique carrier-major keys c*steps + t, holes get
@@ -200,7 +210,29 @@ def _fused_chunk_body(ring, chunk, end_rel, rebase, st0, bs0, nb0, nfs0,
         inits, mode="drop")
 
     # ---- kind-compacted FEC decode + per-kind section packing
-    res = decode_slots_fused(flat, inits, kind)
+    if soft:
+        # byte-granular gather of the SOFT window rows [G, 510]: pack
+        # 4 int8 values per uint32 word (little-endian), gather ~130
+        # words per row, funnel-shift by the byte offset — the same
+        # transfer-economy trick as the bit gather above, 8x the word
+        # count but still ~30x cheaper than an elementwise gather
+        nw8 = C.BITS_PER_TS // 4 + 2
+        words8 = lax.bitcast_convert_type(
+            win.reshape(B, L // 4, 4), jnp.uint32).reshape(-1)
+        sh8 = ((soff & 3) * 8).astype(jnp.uint32)[:, None]
+        widx8 = (jnp.clip((soff >> 2)[:, None]
+                          + jnp.arange(nw8, dtype=jnp.int32),
+                          0, L // 4 - 1) + gcar[:, None] * (L // 4))
+        got8 = jnp.take(words8, widx8.reshape(-1)).reshape(G, nw8)
+        hi8 = jnp.where(sh8 == 0, jnp.uint32(0),
+                        got8[..., 1:] << (jnp.uint32(32) - sh8))
+        out_w8 = (got8[..., :nw8 - 1] >> sh8) | hi8
+        flat_soft = lax.bitcast_convert_type(
+            out_w8, jnp.int8).reshape(G, (nw8 - 1) * 4)[:, :C.BITS_PER_TS]
+        res = decode_slots_fused(flat_soft.astype(jnp.float32), inits,
+                                 kind, soft_input=True)
+    else:
+        res = decode_slots_fused(flat, inits, kind)
     pk = _pack_selected(res, kind)                     # [G, 408] int8
 
     _, b1, b2 = split_norm_burst(flat)
@@ -243,21 +275,27 @@ def _fused_chunk_body(ring, chunk, end_rel, rebase, st0, bs0, nb0, nfs0,
         lax.bitcast_convert_type(side, jnp.int8).reshape(B * 4 * SIDE_I32)])
 
     new_ring = lax.dynamic_slice(
-        bits, (0, end_rel - RING_PAD), (B, RING_PAD))
+        win, (0, end_rel - RING_PAD), (B, RING_PAD))
     return bundle, new_ring, (st, bs, nb, nfs, scr_final), t4_full, t4_b2
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("steps", "feed", "g_rows", "lc_pad"))
+                   static_argnames=("steps", "feed", "g_rows", "lc_pad",
+                                    "soft", "tol"))
 def fused_chunk(ring, packed, end_rel, rebase, st0, bs0, nb0, nfs0, fed_rel,
-                scr0, steps: int, feed: int, g_rows: int, lc_pad: int):
+                scr0, steps: int, feed: int, g_rows: int, lc_pad: int,
+                soft: bool = False, tol: int = 0):
     """Packed-bits entry: packed [B, lc_pad//8] uint8 (8 bits/byte,
-    MSB-first) -> _fused_chunk_body."""
+    MSB-first) -> _fused_chunk_body. On a soft pipeline, hard input
+    bits become full-confidence ±1 soft values (erasure-free)."""
     B = ring.shape[0]
     shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
     chunk = ((packed[..., None] >> shifts) & 1).reshape(B, lc_pad)
+    if soft:
+        chunk = (1 - 2 * chunk.astype(jnp.int32)) * 31
     return _fused_chunk_body(ring, chunk, end_rel, rebase, st0, bs0, nb0,
-                             nfs0, fed_rel, scr0, steps, feed, g_rows)
+                             nfs0, fed_rel, scr0, steps, feed, g_rows,
+                             soft=soft, tol=tol)
 
 
 def _iq_to_ri(fmt: str, raw):
@@ -277,10 +315,11 @@ def _iq_to_ri(fmt: str, raw):
 
 
 def _iq_frontend(raw, channel_idx, fmt: str, n_chan: int, fs: float,
-                 sps: int):
-    """Wideband raw samples -> per-carrier hard bits [C, Lf]: dequantize
-    -> PFB channelize -> resample to the demod rate -> DQPSK demod, all
-    one traced program (reference per-carrier front end:
+                 sps: int, soft: bool = False):
+    """Wideband raw samples -> per-carrier hard bits (or int8 soft
+    reliabilities, soft=True) [C, Lf]: dequantize -> PFB channelize ->
+    resample to the demod rate -> DQPSK demod, all one traced program
+    (reference per-carrier front end:
     src/demod/osmosdr-tetra_demod_fft.py:64-96, batched)."""
     from tetra_tpu.phy import dqpsk
     from tetra_tpu.phy.pfb import pfb_to_demod_rate_ri
@@ -290,36 +329,42 @@ def _iq_frontend(raw, channel_idx, fmt: str, n_chan: int, fs: float,
     # arbitrary fractional offset; without sub-sample timing the
     # per-carrier phase pick can land between the sps=2 phases and
     # deterministically flip marginal bits (dqpsk.demodulate_hard_ri)
+    if soft:
+        return dqpsk.demodulate_soft_ri(cr, ci, sps=sps, os=4)
     return dqpsk.demodulate_hard_ri(cr, ci, sps=sps, os=4)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "fmt", "n_chan", "fs", "sps", "keep", "steps", "feed", "g_rows",
-    "lc_pad"))
+    "lc_pad", "soft", "tol"))
 def fused_chunk_iq(ring, raw, channel_idx, end_rel, rebase, st0, bs0, nb0,
                    nfs0, fed_rel, scr0, fmt: str, n_chan: int, fs: float,
                    sps: int, keep: int, steps: int, feed: int, g_rows: int,
-                   lc_pad: int):
+                   lc_pad: int, soft: bool = False, tol: int = 0):
     """Wideband-IQ entry: ONE device program from raw quantized RF
     samples to the fetched result bundle — dequantize + PFB + resample
     + demod + ring splice + sync scan + FEC + packing. On a tunneled
     device every extra dispatch costs a fixed RPC round-trip, so the
     whole per-chunk pipeline must be one program (PARITY.md "streaming
-    ingest").
+    ingest"). soft=True demodulates to int8 reliabilities and runs the
+    soft Viterbi (see _fused_chunk_body).
 
     keep: how many trailing demod bits are NEW stream bits (the leading
     bits re-derive the overlap-save history already consumed)."""
-    bits_full = _iq_frontend(raw, channel_idx, fmt, n_chan, fs, sps)
+    bits_full = _iq_frontend(raw, channel_idx, fmt, n_chan, fs, sps,
+                             soft=soft)
     chunk = bits_full[:, bits_full.shape[1] - keep:]
     if lc_pad != keep:
         chunk = jnp.pad(chunk, ((0, 0), (0, lc_pad - keep)))
     return _fused_chunk_body(ring, chunk, end_rel, rebase, st0, bs0, nb0,
-                             nfs0, fed_rel, scr0, steps, feed, g_rows)
+                             nfs0, fed_rel, scr0, steps, feed, g_rows,
+                             soft=soft, tol=tol)
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_fused_chunk(mesh, axis: str, steps: int, feed: int,
-                         g_rows: int, lc_pad: int):
+                         g_rows: int, lc_pad: int, soft: bool = False,
+                         tol: int = 0):
     """shard_map-wrapped fused chunk over the mesh's carrier axis.
 
     Each shard runs the WHOLE chunk program — sync scan, slot
@@ -344,9 +389,11 @@ def _sharded_fused_chunk(mesh, axis: str, steps: int, feed: int,
         car0 = lax.axis_index(axis) * B
         shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
         chunk = ((packed[..., None] >> shifts) & 1).reshape(B, lc_pad)
+        if soft:
+            chunk = (1 - 2 * chunk.astype(jnp.int32)) * 31
         return _fused_chunk_body(ring, chunk, end_rel, rebase, st, bs,
                                  nb, nfs, fed_rel, scr, steps, feed, gl,
-                                 car_offset=car0)
+                                 car_offset=car0, soft=soft, tol=tol)
 
     c, r = P(axis), P()
     # check_vma off: the replicated scan carries inside sync_scan /
@@ -360,12 +407,13 @@ def _sharded_fused_chunk(mesh, axis: str, steps: int, feed: int,
 
 
 @functools.partial(jax.jit, static_argnames=("fmt", "n_chan", "fs", "sps",
-                                             "keep"))
+                                             "keep", "soft"))
 def _iq_frontend_bits(raw, channel_idx, fmt: str, n_chan: int, fs: float,
-                      sps: int, keep: int):
+                      sps: int, keep: int, soft: bool = False):
     """Front end alone (short-chunk absorb path): the trailing `keep`
-    new bits as a device array."""
-    bits_full = _iq_frontend(raw, channel_idx, fmt, n_chan, fs, sps)
+    new bits (or soft values) as a device array."""
+    bits_full = _iq_frontend(raw, channel_idx, fmt, n_chan, fs, sps,
+                             soft=soft)
     return bits_full[:, bits_full.shape[1] - keep:]
 
 
@@ -395,13 +443,21 @@ class FastChunkPipeline:
     fetch+decode with `collect` (callers pipeline the two)."""
 
     def __init__(self, n_carriers: int, feed: int = FEED_BITS,
-                 mesh=None, mesh_axis: str = "car"):
+                 mesh=None, mesh_axis: str = "car", soft: bool = False,
+                 tol: int | None = None):
         """mesh: optional jax.sharding.Mesh — the chunk program then
         runs carrier-sharded via shard_map (_sharded_fused_chunk), with
         per-shard row budgets and a concatenated bundle; n_carriers
-        must divide evenly across the mesh axis."""
+        must divide evenly across the mesh axis.
+
+        soft=True: the ring carries int8 soft reliabilities, submit_iq
+        demodulates soft, and the FEC runs the soft Viterbi (~2 dB on
+        noisy RF); tol defaults to 2 in soft mode (training-sequence
+        bit-error tolerance — burst.train_seq_match)."""
         self.n = n_carriers
         self.feed = feed
+        self.soft = soft
+        self.tol = (2 if soft else 0) if tol is None else tol
         self.mesh = mesh
         self.mesh_axis = mesh_axis
         self.shards = int(mesh.shape[mesh_axis]) if mesh is not None else 1
@@ -463,7 +519,7 @@ class FastChunkPipeline:
         if steps <= 0:
             # window grows within the ring slack; nothing to scan yet
             self.ring = _absorb(self.ring, jnp.asarray(packed),
-                                np.int32(Lc), lc_pad)
+                                np.int32(Lc), lc_pad, self.soft)
             self.end += Lc
             return None
         # multi-process: numpy stays uncommitted (replicated into the
@@ -472,17 +528,19 @@ class FastChunkPipeline:
         packed_d = packed if self.multiproc else jnp.asarray(packed)
         feed = self.feed
         mesh, axis = self.mesh, self.mesh_axis
+        soft, tol = self.soft, self.tol
 
         def make_fn(ring0, rebase, end_rel, fed_rel, st, bs, nb, nfs):
             def dispatch(scr, g_rows):
                 if mesh is not None:
                     fn = _sharded_fused_chunk(mesh, axis, steps, feed,
-                                              g_rows, lc_pad)
+                                              g_rows, lc_pad, soft, tol)
                     return fn(ring0, packed_d, end_rel, rebase, st, bs,
                               nb, nfs, fed_rel, scr)
                 return fused_chunk(ring0, packed_d, end_rel, rebase,
                                    st, bs, nb, nfs, fed_rel, scr,
-                                   steps, feed, g_rows, lc_pad)
+                                   steps, feed, g_rows, lc_pad,
+                                   soft, tol)
             return dispatch
         return self._submit_common(Lc, steps, make_fn)
 
@@ -503,18 +561,20 @@ class FastChunkPipeline:
         raw_d = jnp.asarray(raw)
         if steps <= 0:
             bits = _iq_frontend_bits(raw_d, channel_idx, fmt, n_chan, fs,
-                                     sps, keep)
+                                     sps, keep, self.soft)
             self.ring = _absorb_bits(self.ring, bits)
             self.end += keep
             return None
         feed = self.feed
+        soft, tol = self.soft, self.tol
 
         def make_fn(ring0, rebase, end_rel, fed_rel, st, bs, nb, nfs):
             def dispatch(scr, g_rows):
                 return fused_chunk_iq(ring0, raw_d, channel_idx, end_rel,
                                       rebase, st, bs, nb, nfs, fed_rel,
                                       scr, fmt, n_chan, fs, sps, keep,
-                                      steps, feed, g_rows, lc_pad)
+                                      steps, feed, g_rows, lc_pad,
+                                      soft, tol)
             return dispatch
         return self._submit_common(keep, steps, make_fn)
 
@@ -707,11 +767,13 @@ def _absorb_bits(ring, bits):
     return win[:, win.shape[1] - RING_PAD:]
 
 
-@functools.partial(jax.jit, static_argnames=("lc_pad",))
-def _absorb(ring, packed, lc, lc_pad: int):
+@functools.partial(jax.jit, static_argnames=("lc_pad", "soft"))
+def _absorb(ring, packed, lc, lc_pad: int, soft: bool = False):
     """Short-chunk path: append < one feed quantum into the ring."""
     B = ring.shape[0]
     shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
     chunk = ((packed[..., None] >> shifts) & 1).reshape(B, lc_pad)
+    if soft:
+        chunk = (1 - 2 * chunk.astype(jnp.int32)) * 31
     win = jnp.concatenate([ring, chunk.astype(jnp.int8)], axis=1)
     return lax.dynamic_slice(win, (0, lc), (B, RING_PAD))

@@ -190,28 +190,11 @@ def demodulate(iq, sps: int = 2, est_cfo: bool = True):
                          sps=sps, est_cfo=est_cfo)
 
 
-@functools.partial(jax.jit, static_argnames=("sps", "os"))
-def demodulate_hard_ri(re, im, sps: int = 2, os: int = 1):
-    """Trig-free hard-decision demodulator: planar baseband -> dibits.
-
-    pi/4-DQPSK hard decisions are pure sign tests on the differential
-    phasor d = z[n]·conj(z[n-sps]): b0 = (Im d <= 0), b1 = (Re d < 0) —
-    equivalent to the angle+slicer path (float_to_bits.c thresholds) but
-    with no atan2. Timing selection uses |sin 2θ| = 2|dr·di|/|d|², also
-    trig-free. Returns ubits [..., 2*(T//sps)].
-
-    os > 1 adds fractional timing: an os-x bank of fractionally-shifted
-    RRC matched filters interpolates between input samples and ONE of
-    sps*os phases is picked per carrier. With sps=2 alone, a
-    half-sample symbol-clock offset lands exactly between the two
-    available phases and the decision margin collapses on the worst
-    symbols (measured through the PFB front end: min margin 0.62 at
-    the right phase vs ~0.001 at the wrong one) — os=4 bounds the
-    sampling error at T/16, the same trade as _slotwise_phasors. Use
-    os=4 wherever upstream resampling leaves the symbol clock at an
-    arbitrary offset (the wideband paths); os=1 is bit-compatible with
-    the Pallas kernel (demod_pallas) for phase-aligned steady streams.
-    """
+def _stream_phasors(re, im, sps: int, os: int):
+    """Shared full-stream phasor core: matched filter (os-x fractional
+    bank), differential phasor, per-carrier timing-phase pick. Returns
+    (sel_r, sel_i) [..., T//sps] — the selected differential phasors,
+    one per symbol."""
     tap_bank = [rrc_taps(sps, frac_shift=k / os) for k in range(os)]
 
     def mf(x):
@@ -239,11 +222,62 @@ def demodulate_hard_ri(re, im, sps: int = 2, os: int = 1):
     best = jnp.argmax(score, axis=-1).astype(jnp.int32)
     sel_r = jnp.take_along_axis(drp, best[..., None, None], axis=-1)[..., 0]
     sel_i = jnp.take_along_axis(dip, best[..., None, None], axis=-1)[..., 0]
+    return sel_r, sel_i
 
+
+@functools.partial(jax.jit, static_argnames=("sps", "os"))
+def demodulate_hard_ri(re, im, sps: int = 2, os: int = 1):
+    """Trig-free hard-decision demodulator: planar baseband -> dibits.
+
+    pi/4-DQPSK hard decisions are pure sign tests on the differential
+    phasor d = z[n]·conj(z[n-sps]): b0 = (Im d <= 0), b1 = (Re d < 0) —
+    equivalent to the angle+slicer path (float_to_bits.c thresholds) but
+    with no atan2. Timing selection uses |sin 2θ| = 2|dr·di|/|d|², also
+    trig-free. Returns ubits [..., 2*(T//sps)].
+
+    os > 1 adds fractional timing: an os-x bank of fractionally-shifted
+    RRC matched filters interpolates between input samples and ONE of
+    sps*os phases is picked per carrier. With sps=2 alone, a
+    half-sample symbol-clock offset lands exactly between the two
+    available phases and the decision margin collapses on the worst
+    symbols (measured through the PFB front end: min margin 0.62 at
+    the right phase vs ~0.001 at the wrong one) — os=4 bounds the
+    sampling error at T/16, the same trade as _slotwise_phasors. Use
+    os=4 wherever upstream resampling leaves the symbol clock at an
+    arbitrary offset (the wideband paths); os=1 is bit-compatible with
+    the Pallas kernel (demod_pallas) for phase-aligned steady streams.
+    """
+    sel_r, sel_i = _stream_phasors(re, im, sps, os)
     b0 = (sel_i <= 0).astype(jnp.int8)
     b1 = (sel_r < 0).astype(jnp.int8)
     bits = jnp.stack([b0, b1], axis=-1)
     return bits.reshape(*bits.shape[:-2], bits.shape[-2] * 2)
+
+
+@functools.partial(jax.jit, static_argnames=("sps", "os"))
+def demodulate_soft_ri(re, im, sps: int = 2, os: int = 1):
+    """Full-stream soft-decision demodulator: planar baseband -> int8
+    per-bit reliabilities [..., 2*(T//sps)] (positive = bit 0, the
+    pipeline's convention; hard decisions = (soft < 0)).
+
+    Same front end and timing pick as demodulate_hard_ri; instead of
+    sign tests, the differential phasor components are normalised by
+    the per-carrier mean magnitude, clipped at 4x, and quantised to
+    int8 (±124 full scale — the ~5 effective soft bits cost <0.1 dB
+    against the float path). The reference chain is hard-decision by
+    construction (float_to_bits.c thresholds); carrying amplitudes
+    through the linear descramble/deinterleave/depuncture into the
+    soft Viterbi buys ~2 dB (PARITY.md), and fastpath's soft mode
+    threads this output through the fused chunk program at scale.
+    """
+    sel_r, sel_i = _stream_phasors(re, im, sps, os)
+    nrm = jnp.mean(jnp.sqrt(sel_r * sel_r + sel_i * sel_i),
+                   axis=-1, keepdims=True) + 1e-9
+    s0 = jnp.clip(sel_i / nrm, -4.0, 4.0)
+    s1 = jnp.clip(sel_r / nrm, -4.0, 4.0)
+    soft = jnp.stack([s0, s1], axis=-1)
+    q = jnp.round(soft * 31.0).astype(jnp.int8)
+    return q.reshape(*q.shape[:-2], q.shape[-2] * 2)
 
 
 def _slotwise_phasors(re, im, n_slots: int, phase_bit: int, sps: int):

@@ -73,11 +73,15 @@ class VecSyncCarry:
         return cls(z(), z(), z(), z(), z(), 0)
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "feed"))
+@functools.partial(jax.jit, static_argnames=("steps", "feed", "tol"))
 def sync_scan(bits, state0, buf_start0, nbuf0, nfs0, slot0, fed0,
-              steps: int, feed: int = FEED_BITS):
+              steps: int, feed: int = FEED_BITS, tol: int = 0):
     """Run `steps` feed quanta of the reference state machine over
     bits [B, L] (chunk-relative positions, int32).
+
+    tol: training-sequence bit-error tolerance (burst.train_seq_match)
+    — 0 replays the reference's exact matcher; degraded-signal modes
+    use 2 so lock maintenance survives ~1e-2 hard BER.
 
     Returns (final carry tuple, per-step outputs dict of [steps, B]):
       burst      processed-slot flag (TDMA clock advances)
@@ -91,7 +95,7 @@ def sync_scan(bits, state0, buf_start0, nbuf0, nfs0, slot0, fed0,
     """
     B, L = bits.shape
     idx = jnp.arange(L, dtype=jnp.int32)
-    match = burst_mod.train_seq_match(bits, _MASK)  # [B, L, 5]
+    match = burst_mod.train_seq_match(bits, _MASK, tol=tol)  # [B, L, 5]
 
     nms, viz20s = [], []
     prev = jnp.concatenate(
@@ -161,6 +165,28 @@ def sync_scan(bits, state0, buf_start0, nbuf0, nfs0, slot0, fed0,
         has = key < _BIG * 4
         qw = key >> 2
         col = jnp.where(has, (key & 3).astype(jnp.int32), -1)
+        if tol:
+            # tolerant matching multiplies near-matches; position-first
+            # scanning would then let a spurious earlier hit shadow the
+            # true training sequence and drop the slot as bad_offset.
+            # Check the EXPECTED offsets first (SYNC@214 / NORM@244 —
+            # where a locked receiver knows the sequence must be) and
+            # only fall back to the reference's first-match scan when
+            # neither holds. Exact mode (tol=0) keeps the reference
+            # scan untouched.
+            def at(ci, p):
+                mb = match[..., _COLS[ci]]
+                return gather(mb, p) & (p + _SEQ_LEN[ci] <= blim)
+            e0 = at(0, slot + C.SYNC_TRAIN_OFFSET)
+            e1 = at(1, slot + C.NORM_TRAIN_OFFSET)
+            e2 = at(2, slot + C.NORM_TRAIN_OFFSET)
+            eh = e0 | e1 | e2
+            ecol = jnp.where(e0, 0, jnp.where(e1, 1, 2))
+            eq = jnp.where(e0, slot + C.SYNC_TRAIN_OFFSET,
+                           slot + C.NORM_TRAIN_OFFSET)
+            col = jnp.where(eh, ecol, col)
+            qw = jnp.where(eh, eq, qw)
+            has = has | eh
         rel = qw - slot
 
         is_sync = lk & (col == 0)

@@ -64,7 +64,7 @@ class MultiCarrierReceiver:
                  control_plane: str = "python",
                  gsmtap_host: str | None = None,
                  decode_voice: bool = False,
-                 tl_sdu_sink=None, mesh=None):
+                 tl_sdu_sink=None, mesh=None, demod: str = "hard"):
         self.offsets = np.asarray(offsets_hz, dtype=np.float32)
         self.fs = float(fs)
         self.sps = sps
@@ -97,6 +97,8 @@ class MultiCarrierReceiver:
         # blocks through ONE C++ executor call per chunk (structured
         # events instead of log lines; unencrypted fast path)
         assert control_plane in ("python", "native")
+        assert demod == "hard" or control_plane == "native", \
+            "soft demod rides the fastpath (native control plane)"
         self.control_plane = control_plane
         # generic TL-SDU egress (the SDS/data sink surface):
         # fn(carrier, pdisc, pdut, sdu_ubits) for every TL-SDU, from
@@ -136,8 +138,17 @@ class MultiCarrierReceiver:
                 self.native_cp.set_gsmtap(True)
             # mesh: carrier-shard the fused chunk program over a device
             # mesh (fastpath._sharded_fused_chunk) — bit-identical
-            # events, per-shard row budgets
-            self._fast = FastChunkPipeline(n_carriers, mesh=mesh)
+            # events, per-shard row budgets.
+            # demod="soft": degraded-signal mode — the wideband front
+            # end demodulates to int8 reliabilities, the fused chunk
+            # program runs the soft Viterbi (~2 dB over hard slicing)
+            # and the sync scan tolerates 2 training-sequence bit
+            # errors (the reference's Costas/M&M feedback demod is its
+            # only low-SNR mode, src/demod/cqpsk.py:253-270; here the
+            # scale path itself degrades gracefully)
+            assert demod in ("hard", "soft")
+            self._fast = FastChunkPipeline(n_carriers, mesh=mesh,
+                                           soft=demod == "soft")
             self._pending = []
         else:
             self.sync = MultiSync(n_carriers)
