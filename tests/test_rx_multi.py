@@ -484,3 +484,47 @@ class TestWidebandIq4:
             m_bits, m_stats = run(cuts)
             assert np.array_equal(one_bits, m_bits), cuts
             assert one_stats == m_stats, cuts
+
+
+class TestOffGridStreaming:
+    def test_mixer_chunked_equals_whole_off_grid(self):
+        """Off-grid carriers through the mixer-bank fallback: feeding
+        the capture in arbitrary chunks is bit-identical to one call
+        (overlap-save carry + absolute-index oscillator,
+        rx_multi._mixer_stream). Previously this path was stateless per
+        call and lost ~a slot per carrier per chunk boundary (reference
+        xlating FIR: src/demod/osmosdr-tetra_demod_fft.py:74-80)."""
+        fs = 144_000.0                     # fs/36k = 4 (rational)
+        bits_a = _capture_bits(262, 42, 1, 0x200, seed=1)
+        bits_b = _capture_bits(901, 7, 5, 0x300, seed=2)
+        n = min(len(bits_a), len(bits_b)) & ~1
+        bits = np.stack([bits_a[:n], bits_b[:n]])
+        base = dqpsk.modulate(bits, sps=2)
+        # NON-grid offsets (nothing near a 25 kHz multiple)
+        offsets = np.array([-31_400.0, 13_700.0], np.float32)
+        wide = channelizer.synthesize_wideband(base, offsets, fs=fs)
+
+        def run(cuts=None):
+            mrx = MultiCarrierReceiver(offsets, fs=fs)
+            if cuts is None:
+                mrx.process_iq(wide, final=True)
+            else:
+                edges = [0] + cuts + [len(wide)]
+                for i in range(len(edges) - 1):
+                    mrx.process_iq(wide[edges[i]:edges[i + 1]],
+                                   final=i == len(edges) - 2)
+            return mrx
+
+        whole = run()
+        # unaligned cuts: neither a BLOCK multiple nor symbol-aligned
+        chunked = run(cuts=[4097, 11_003, 23_456])
+        for p, q in zip(whole.carriers, chunked.carriers):
+            assert (p.stats.bursts, p.stats.slots, p.stats.crc_ok,
+                    p.stats.crc_wrong) == \
+                (q.stats.bursts, q.stats.slots, q.stats.crc_ok,
+                 q.stats.crc_wrong)
+            assert p.stats.crc_ok > 0 and p.stats.crc_wrong == 0
+        for rx in chunked.carriers[:1]:
+            ssis = [e[1].addr.ssi for e in rx.umac.events
+                    if e[0] == "RESOURCE" and e[1].addr.type == 1]
+            assert ssis == [0x200, 0x201, 0x202]

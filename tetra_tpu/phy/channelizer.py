@@ -172,19 +172,28 @@ def _resample_rows_ri(x, n_in: int, fs: float, out_rate: float,
 
 @functools.partial(jax.jit, static_argnames=("fs", "out_rate", "ntaps"))
 def channelize_ri(re, im, offsets_hz, fs: float, out_rate: float = DEMOD_RATE,
-                  ntaps: int = 127):
+                  ntaps: int = 127, base=0):
     """Planar wideband channelizer: float32 [T] planes -> [C, n_out] planes.
 
     Same math as `channelize` but with all complex arithmetic expressed
     on real/imag planes (TPU transport + VPU friendly): oscillator-bank
     mix, low-pass FIR per plane, polyphase resample per plane.
     Returns (out_re, out_im).
+
+    base: absolute sample index of re[0] in a longer stream. Streaming
+    callers (rx_multi overlap-save on the mixer path) pass it so the
+    oscillator evaluates cos(2*pi*f*(base+i)/fs) with EXACTLY the same
+    float ops as a whole-capture run at index base+i — chunked output
+    is then bit-identical to unchunked (DQPSK is differential, so even
+    a constant phase error would cancel; matching the floats makes the
+    equality exact rather than statistical).
     """
     from tetra_tpu.phy.dqpsk import _fir_real
     re = jnp.asarray(re, dtype=jnp.float32)
     im = jnp.asarray(im, dtype=jnp.float32)
     T = re.shape[-1]
-    t = jnp.arange(T, dtype=jnp.float32) / jnp.float32(fs)
+    t = ((jnp.arange(T, dtype=jnp.int32) + base).astype(jnp.float32)
+         / jnp.float32(fs))
     ph = 2.0 * jnp.pi * offsets_hz[:, None] * t[None, :]
     c, s = jnp.cos(ph), jnp.sin(ph)
     # (re + j im) * e^{-j ph}

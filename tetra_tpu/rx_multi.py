@@ -56,6 +56,22 @@ def _pfb_demod_bits_len(n_samples: int, n_chan: int, fs: float,
     return int(jax.eval_shape(f, s, s).shape[-1])
 
 
+@functools.lru_cache(maxsize=None)
+def _mixer_demod_bits_len(n_samples: int, fs: float, sps: int) -> int:
+    """Demod output bit count for an n_samples feed through the
+    mixer-bank front end — jax.eval_shape only (no compile, no device
+    work)."""
+    import jax
+
+    def f(re, im):
+        cr, ci = channelizer.channelize_ri(
+            re, im, jnp.zeros(1, jnp.float32), fs=fs)
+        return dqpsk.demodulate_hard_ri(cr, ci, sps=sps, os=4)
+
+    s = jax.ShapeDtypeStruct((n_samples,), jnp.float32)
+    return int(jax.eval_shape(f, s, s).shape[-1])
+
+
 class MultiCarrierReceiver:
     def __init__(self, offsets_hz, fs: float, sps: int = 2,
                  keystore_path: str | None = None,
@@ -209,7 +225,7 @@ class MultiCarrierReceiver:
         return self._wideband_stream(np.asarray(packed_u8, np.uint8), 1,
                                      "iq4", final)
 
-    def _demod_ri(self, re, im) -> np.ndarray:
+    def _demod_ri(self, re, im, base: int = 0) -> np.ndarray:
         if self.pfb_channels is not None:
             from tetra_tpu.phy import pfb
             out_r, out_i = pfb.pfb_to_demod_rate_ri(
@@ -217,7 +233,8 @@ class MultiCarrierReceiver:
                 self.fs)
         else:
             out_r, out_i = channelizer.channelize_ri(
-                re, im, jnp.asarray(self.offsets), fs=self.fs)
+                re, im, jnp.asarray(self.offsets), fs=self.fs,
+                base=np.int32(base))
         # stays DEVICE-resident: the native fastpath packs on device,
         # so the demod -> decode handoff never crosses the link.
         # os=4 fractional timing: upstream resampling leaves the symbol
@@ -247,12 +264,7 @@ class MultiCarrierReceiver:
         pfb_channels) keeps the stateless per-call behaviour."""
         from tetra_tpu.fastpath import _iq_to_ri
         if self.pfb_channels is None:
-            if len(raw) == 0:
-                return self.process_bits(
-                    np.zeros((len(self.carriers), 0), np.uint8),
-                    final=final)
-            re, im = _iq_to_ri(fmt, jnp.asarray(raw))
-            return self.process_bits(self._demod_ri(re, im), final=final)
+            return self._mixer_stream(raw, k, fmt, final)
         n = self.n_chan
         BLOCK = 25 * n
         W = 2 * BLOCK
@@ -310,6 +322,86 @@ class MultiCarrierReceiver:
         self._wb_rem = self._wb_rem[:0]
         if hasattr(self, "_wb_g"):
             del self._wb_g
+
+    def _mixer_stream(self, raw, k: int, fmt: str, final: bool):
+        """Overlap-save streaming for the MIXER-BANK fallback (carriers
+        at arbitrary off-grid offsets; reference xlating FIR front end:
+        src/demod/osmosdr-tetra_demod_fft.py:74-80).
+
+        Same structure as the PFB branch: continuation calls re-feed
+        the last W raw samples and drop the re-derived bits; chunks are
+        consumed in BLOCK-aligned quanta (BLOCK = whole fs/36k
+        resampler periods, sized to dominate the 127-tap channel FIR +
+        resampler + RRC memories, with an even number of demod bits
+        per block). The oscillator bank evaluates at ABSOLUTE sample
+        indices (channelize_ri base=), so a chunked stream produces
+        bit-identical output to a whole-capture run — previously this
+        path was stateless per call and cost every carrier ~a slot of
+        relock per chunk boundary. Rates whose fs/36k ratio is not
+        rational with a small denominator keep the old stateless
+        behaviour (none of the common SDR rates are affected)."""
+        from tetra_tpu.fastpath import _iq_to_ri
+        from tetra_tpu.phy.channelizer import _rational_ratio
+        lm = _rational_ratio(self.fs, channelizer.DEMOD_RATE)
+        if lm is None:
+            if len(raw) == 0:
+                return self.process_bits(
+                    np.zeros((len(self.carriers), 0), np.uint8),
+                    final=final)
+            re, im = _iq_to_ri(fmt, jnp.asarray(raw))
+            return self.process_bits(self._demod_ri(re, im), final=final)
+        L_, M_ = lm
+        BLOCK = L_ * max(1, -(-2048 // L_))
+        if ((BLOCK // L_) * M_) % 2:
+            BLOCK *= 2
+        W = 2 * BLOCK
+        if not hasattr(self, "_mx_rem"):
+            self._mx_rem = raw[:0]
+            self._mx_hist = None
+            self._mx_pos = 0      # abs sample index of the consumed head
+        data = np.concatenate([self._mx_rem, raw])
+        total = len(data) // k
+        usable = (total // BLOCK) * BLOCK
+        if final:
+            usable = total
+        if usable == 0 or (self._mx_hist is None and usable < W
+                           and not final):
+            self._mx_rem = data
+            if final:
+                self._reset_mx_stream()
+                return self.process_bits(
+                    np.zeros((len(self.carriers), 0), np.uint8),
+                    final=True)
+            return [rx.stats for rx in self.carriers]
+        self._mx_rem = data[usable * k:]
+        chunk = data[: usable * k]
+        first = self._mx_hist is None
+        feed = chunk if first else np.concatenate([self._mx_hist, chunk])
+        base = self._mx_pos - (0 if first else W)
+        nbits = _mixer_demod_bits_len(len(feed) // k, self.fs, self.sps)
+        keep = nbits if first else max(nbits - self._mx_g, 0)
+        if first and usable % BLOCK == 0:
+            # bits(L) is affine on BLOCK-aligned lengths with slope
+            # bpb/BLOCK, so the first call yields G(W) — the exact
+            # per-carrier bit count every continuation must drop
+            bpb = (BLOCK // L_) * M_
+            self._mx_g = nbits - bpb * (usable // BLOCK - 2)
+        hist_src = chunk if len(chunk) >= W * k else feed
+        self._mx_hist = hist_src[-W * k:]
+        self._mx_pos += usable
+        if final:
+            self._reset_mx_stream()
+        bits = self._demod_ri(*_iq_to_ri(fmt, jnp.asarray(feed)),
+                              base=base)
+        bits = bits[:, bits.shape[1] - keep:]
+        return self.process_bits(bits, final=final)
+
+    def _reset_mx_stream(self):
+        self._mx_hist = None
+        self._mx_rem = self._mx_rem[:0]
+        self._mx_pos = 0
+        if hasattr(self, "_mx_g"):
+            del self._mx_g
 
     def process_bits(self, bits, final: bool = True) -> list[RxStats]:
         """Per-carrier hard bits [C, T] -> per-carrier decode stats.
