@@ -435,9 +435,19 @@ def main():
     t_h2d = _median_time(lambda: jax.device_put(cal).block_until_ready(),
                          reps=3)
     link_h2d_mbps = cal.nbytes / t_h2d / 1e6
-    t_d2h = _median_time(lambda: np.asarray(d_cal), reps=3)
-    link_d2h_mbps = cal.nbytes / t_d2h / 1e6
-    del d_cal
+    # distinct device arrays per rep: np.asarray on a jax.Array caches
+    # the host copy, so re-fetching the SAME array times a no-op (the
+    # r5-interim run recorded a phantom 2 Tb/s d2h figure this way)
+    import jax.numpy as _jnp
+    ys = [(d_cal + _jnp.int8(i + 1)) for i in range(3)]
+    jax.block_until_ready(ys)
+    ts = []
+    for y in ys:
+        t0 = time.perf_counter()
+        np.asarray(y)
+        ts.append(time.perf_counter() - t0)
+    link_d2h_mbps = cal.nbytes / float(np.median(ts)) / 1e6
+    del d_cal, ys
     result["link_h2d_mbps"] = round(link_h2d_mbps, 1)
     result["link_d2h_mbps"] = round(link_d2h_mbps, 1)
     result["ingest_carriers_per_h2d_mbps"] = round(

@@ -76,3 +76,46 @@ class TestTwoProcessDistributed:
         assert want_total == CC * S_TOTAL
         for d in dumps:
             assert d["crc_ok_total"] == want_total
+
+        # ---- phase 2: the sharded fastpath FLAGSHIP across the two
+        # processes — each walked only its own carrier shards; the
+        # union of their TL-SDU egress and per-carrier stats must be
+        # bit-identical to a single-process unsharded receiver on the
+        # same capture ----
+        from tools.dist_worker import build_bits_capture
+        from tetra_tpu.rx_multi import MultiCarrierReceiver
+        owned_union = sorted(c for d in dumps for c in d["fast_owned"])
+        n_car = len(owned_union)
+        assert owned_union == list(range(n_car))
+        for d in dumps:   # a process's sink holds ONLY its carriers
+            assert {e[0] for e in d["fast_sink"]} <= set(d["fast_owned"])
+
+        bits = build_bits_capture(n_car)
+        sink_ref = []
+        mc = MultiCarrierReceiver(
+            np.zeros(n_car), fs=25e3 * n_car, control_plane="native",
+            tl_sdu_sink=lambda c, pd, pt, b: sink_ref.append(
+                (int(c), int(pd), int(pt),
+                 np.packbits(np.asarray(b)).tobytes(), len(b))))
+        L = bits.shape[1]
+        cuts = [0, L // 3, 2 * L // 3, L]
+        for k in range(3):
+            mc.process_bits(bits[:, cuts[k]:cuts[k + 1]], final=k == 2)
+
+        def by_carrier(entries):
+            out = {}
+            for e in entries:
+                out.setdefault(e[0], []).append(e[1:])
+            return out
+
+        got = by_carrier([e for d in dumps for e in d["fast_sink"]])
+        want = by_carrier(sink_ref)
+        assert got == want and len(want) == n_car
+        stats_ref = {c: (mc.carriers[c].stats.crc_ok,
+                         mc.carriers[c].stats.crc_wrong,
+                         mc.carriers[c].stats.slots)
+                     for c in range(n_car)}
+        for d in dumps:
+            for c, ok, wrong, slots in d["fast_stats"]:
+                assert (ok, wrong, slots) == stats_ref[c], c
+                assert ok > 0 and wrong == 0

@@ -282,8 +282,9 @@ def assemble_soft(slots, inits, kinds, soft_input: bool = False):
     return soft, rm, ks_cell
 
 
-@functools.partial(jax.jit, static_argnames=("soft_input",))
-def decode_slots_fused(slots, inits, kinds, soft_input: bool = False):
+@functools.partial(jax.jit, static_argnames=("soft_input", "ilp"))
+def decode_slots_fused(slots, inits, kinds, soft_input: bool = False,
+                       ilp: int = 1):
     """Mixed-kind batched lower MAC: slots [..., 510] + per-slot
     scrambling codes [...] (any shape broadcastable to the slot batch —
     normally per-carrier [C, 1]) + classified kinds [...] (0 SYNC /
@@ -318,7 +319,8 @@ def decode_slots_fused(slots, inits, kinds, soft_input: bool = False):
         bits, okf = decode_assembled_pallas(
             x.astype(jnp.int8), rm,
             np.ascontiguousarray(P_np.T.astype(np.int8)),
-            N_SYM, BOUNDARIES, CRC_SEGS, tile_b=1024, batch_major=True)
+            N_SYM, BOUNDARIES, CRC_SEGS, tile_b=1024, batch_major=True,
+            ilp=ilp)
         oks = [okf[:, i] != 0 for i in range(len(CRC_SEGS))]
     else:
         soft, rm, ks_cell = assemble_soft(slots, inits, kinds,

@@ -512,9 +512,17 @@ class MultiCarrierReceiver:
     def _collect_walk(self, h):
         """Fetch one dispatched chunk and run the native control plane:
         numpy record assembly (no per-slot Python) + ONE C++ walk that
-        advances the TDMA clocks and applies SYNC side effects."""
+        advances the TDMA clocks and applies SYNC side effects.
+
+        On a multi-process mesh each process decodes ONLY its own
+        carrier shards (fastpath.collect_local) and walks those — the
+        carrier axis is embarrassingly parallel, the reference's own
+        scaling model (one OS process chain per carrier,
+        src/receiver1:8). side_carrier maps the local per-carrier side
+        rows to global carrier ids (identity when unsharded)."""
         from tetra_tpu.umac.native_exec import EV
-        d = self._fast.collect(h)
+        d = (self._fast.collect_local(h) if self._fast.multiproc
+             else self._fast.collect(h))
         n = len(d["carrier"])
         recs = np.column_stack([
             d["carrier"], d["kind"], d["okA"], d["okB"], d["delta"],
@@ -524,8 +532,9 @@ class MultiCarrierReceiver:
         self.native_events.append(evd)
 
         B = len(self.carriers)
-        adv = (np.bincount(d["carrier"], weights=d["delta"], minlength=B)
-               .astype(np.int64) + d["tail"])
+        side_car = np.asarray(d["side_carrier"], np.int64)
+        adv_all = (np.bincount(d["carrier"], weights=d["delta"],
+                               minlength=B).astype(np.int64))
         kinds = evd["kind"]
         cars = evd["carrier"]
         crc = kinds == EV.CRC
@@ -533,10 +542,13 @@ class MultiCarrierReceiver:
         wr_c = np.bincount(cars[crc & (evd["b"] == 0)], minlength=B)
         states = self.native_cp.get_states()
         scr = d["scramb"]
-        for c, rx in enumerate(self.carriers):
-            if adv[c]:
-                rx.stats.bursts += int(adv[c])
-                rx.stats.slots += int(adv[c])
+        for i, c in enumerate(side_car):
+            c = int(c)
+            rx = self.carriers[c]
+            adv = adv_all[c] + int(d["tail"][i])
+            if adv:
+                rx.stats.bursts += int(adv)
+                rx.stats.slots += int(adv)
             rx.stats.crc_ok += int(ok_c[c])
             rx.stats.crc_wrong += int(wr_c[c])
             rx.time.tn, rx.time.fn, rx.time.mn = (int(states[c, 0]),
@@ -545,7 +557,7 @@ class MultiCarrierReceiver:
             rx.colour_code, rx.mcc, rx.mnc = (int(states[c, 3]),
                                               int(states[c, 4]),
                                               int(states[c, 5]))
-            rx.scramb_init = int(scr[c])
+            rx.scramb_init = int(scr[i])
 
         if self.gsmtap is not None:
             self._export_gsmtap(evd, d)
@@ -579,8 +591,12 @@ class MultiCarrierReceiver:
         tr = np.flatnonzero(kinds == EV.TRAFFIC)
         # the traffic routing only feeds dump files / voice decode;
         # without a dump dir the gathers and the per-slot walk are
-        # pure overhead (rx._dump_traffic would return immediately)
-        if len(tr) and self.carriers and self.carriers[0].dumpdir:
+        # pure overhead (rx._dump_traffic would return immediately).
+        # Multi-process meshes skip it: slot_refs index the GLOBAL t4
+        # arrays, and a cross-process gather would need an allgather
+        # (voice dumping is a single-host concern)
+        if (len(tr) and self.carriers and self.carriers[0].dumpdir
+                and not self._fast.multiproc):
             # ONE batched device gather for exactly the traffic slots'
             # t4 payloads (full slot for SCH/F, blk2 for NDB stealing)
             refs = evd["a"][tr]

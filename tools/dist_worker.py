@@ -51,6 +51,78 @@ def build_capture(rng_seed: int = 5):
     return re, im, inits
 
 
+def build_bits_capture(n_car: int):
+    """Per-carrier HARD-BIT streams for the fastpath phase: garbage
+    head, double SYNC (acquisition eats the first), SCH/F resources
+    carrying MLE/CMCE D-SETUP TL-SDUs, zero tail so the ring drains.
+    Deterministic — every process must build the IDENTICAL capture
+    (the packed chunk enters the multi-process program replicated)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tetra_tpu import tx, testpdu
+    from tetra_tpu.ops.scramble import scramb_get_init
+
+    init = scramb_get_init(262, 42, 1)
+    aach = testpdu.make_access_assign_bits()
+    sync = None
+    rows = []
+    for c in range(n_car):
+        rng = np.random.default_rng(7000 + c)
+        parts = [rng.integers(0, 2, 97 + 13 * c).astype(np.uint8)]
+        if sync is None:
+            sync = np.asarray(tx.make_sync_burst(
+                testpdu.make_sync_pdu(mcc=262, mnc=42, cc=1),
+                testpdu.make_sysinfo_pdu(), aach, jnp.uint32(init)),
+                np.uint8)
+        parts += [sync, sync]
+        for s in range(6):
+            sdu = testpdu.make_bl_udata(testpdu.make_mle_cmce_dsetup())
+            parts.append(np.asarray(tx.make_schf_burst(
+                testpdu.make_resource_pdu(ssi=0x500 + 16 * c + s,
+                                          sdu_bits=sdu),
+                aach, jnp.uint32(init)), np.uint8))
+        parts.append(np.zeros(1300, np.uint8))
+        rows.append(np.concatenate(parts))
+    L = min(len(r) for r in rows)
+    return np.stack([r[:L] for r in rows])
+
+
+def run_fastpath_phase(pid: int):
+    """The FLAGSHIP path across processes: MultiCarrierReceiver's
+    native plane over a carrier-sharded multi-process mesh
+    (fastpath._sharded_fused_chunk + collect_local) — each process
+    fetches and walks ONLY its own carrier shards, the reference's
+    one-process-per-carrier scaling model (src/receiver1:8) made real
+    on a jax.distributed mesh. Returns (owned carriers, TL-SDU sink
+    entries, per-owned-carrier stats)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from tetra_tpu.rx_multi import MultiCarrierReceiver
+
+    n_car = len(jax.devices())
+    car_mesh = Mesh(np.asarray(jax.devices()), ("car",))
+    bits = build_bits_capture(n_car)
+    sink = []
+    mc = MultiCarrierReceiver(
+        np.zeros(n_car), fs=25e3 * n_car, control_plane="native",
+        mesh=car_mesh,
+        tl_sdu_sink=lambda c, pd, pt, b: sink.append(
+            (int(c), int(pd), int(pt),
+             np.packbits(np.asarray(b)).tobytes(), len(b))))
+    assert mc._fast.multiproc
+    L = bits.shape[1]
+    cuts = [0, L // 3, 2 * L // 3, L]
+    for k in range(3):
+        mc.process_bits(bits[:, cuts[k]:cuts[k + 1]], final=k == 2)
+    owned = [c for c, dev in enumerate(car_mesh.devices.flat)
+             if dev.process_index == pid]
+    stats = [(c, mc.carriers[c].stats.crc_ok,
+              mc.carriers[c].stats.crc_wrong,
+              mc.carriers[c].stats.slots) for c in owned]
+    return owned, sink, stats
+
+
 def main():
     pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
                                 sys.argv[3], sys.argv[4])
@@ -89,6 +161,13 @@ def main():
         dump[key] = {"shape": out[key].shape,
                      "shards": [(s.index, np.asarray(s.data))
                                 for s in out[key].addressable_shards]}
+
+    # --- phase 2: the sharded fastpath flagship across processes ---
+    owned, sink, fstats = run_fastpath_phase(pid)
+    dump["fast_owned"] = owned
+    dump["fast_sink"] = sink
+    dump["fast_stats"] = fstats
+
     with open(os.path.join(outdir, f"out{pid}.pkl"), "wb") as f:
         pickle.dump(dump, f)
     jax.distributed.shutdown()
