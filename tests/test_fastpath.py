@@ -418,3 +418,54 @@ class TestShardedFastpath:
 
         ref, shd = run(None), run(mesh)
         assert self._events(ref) == self._events(shd)
+
+
+class TestProdConfig:
+    def test_prod_wideband_mixed_encrypted(self, tmp_path):
+        """THE production configuration at CI scale: the FULL protocol
+        mix (incl. TEA1-encrypted carriers) synthesized into ONE
+        companded 4+4-bit wideband RF capture (iq4c, 1 byte per complex
+        sample), channelized on device through the PFB and decoded by
+        the native plane — the workload the mc_e2e_prod number is
+        recorded on. Per-carrier stats must MATCH the pre-demodulated
+        bits path exactly (the capture starts and ends in noise, so
+        demod edge transients never clip a burst) with zero CRC
+        errors."""
+        import sys, pathlib
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve()
+                             .parent.parent / "tools"))
+        import bench_mc_e2e as B
+        from tetra_tpu.phy import dqpsk, channelizer
+        from tetra_tpu.io import stream as stream_mod
+        bits, n_enc = B.mixed_batch(8, 8, enc_frac=0.25)
+        assert n_enc == 2
+        ksf = tmp_path / "keys.txt"
+        ksf.write_text(B.KEYSTORE)
+        base = dqpsk.modulate(bits, sps=2)
+        wide = channelizer.synthesize_wideband_fft(base, np.arange(8), 8)
+        packed = stream_mod.quantize_iq4c(wide.real, wide.imag)
+
+        mrx = MultiCarrierReceiver(
+            [], fs=2e5, pfb_channels=np.arange(8, dtype=np.int32),
+            n_chan=8, control_plane="native", keystore_path=str(ksf))
+        half = len(packed) // 2
+        mrx.process_iq4c(packed[:half], final=False)
+        mrx.process_iq4c(packed[half:], final=True)
+
+        ref = MultiCarrierReceiver(np.zeros(8, np.float32), fs=2e5,
+                                   control_plane="native",
+                                   keystore_path=str(ksf))
+        T = bits.shape[1]
+        ref.process_bits(bits[:, :T // 2], final=False)
+        ref.process_bits(bits[:, T // 2:], final=True)
+
+        for c in range(8):
+            p, q = ref.carriers[c], mrx.carriers[c]
+            assert (p.stats.bursts, p.stats.crc_ok, p.stats.crc_wrong) \
+                == (q.stats.bursts, q.stats.crc_ok, q.stats.crc_wrong), c
+            assert q.stats.crc_wrong == 0 and q.stats.crc_ok > 0, c
+        from tetra_tpu.umac.native_exec import EV
+        kinds = np.concatenate([e["kind"] for e in mrx.native_events])
+        assert (kinds == EV.TRAFFIC).sum() > 0
+        assert (kinds == EV.FRAG_END).sum() > 0
+        assert (kinds == EV.TLSDU).sum() > 0

@@ -127,10 +127,15 @@ def run_rtltcp(args):
     else:
         offsets = [float(x) for x in args.carriers.split(",")]
 
+    if getattr(args, "soft", False) and args.control_plane != "native":
+        print("--soft rides the fastpath; forcing --control-plane native",
+              file=sys.stderr)
+        args.control_plane = "native"
     rx_kw = dict(keystore_path=args.keystore, dumpdir=args.dumpdir,
                  gsmtap_host=args.gsmtap,
                  control_plane=args.control_plane,
-                 decode_voice=args.voice)
+                 decode_voice=args.voice,
+                 demod="soft" if getattr(args, "soft", False) else "hard")
     # grid-aligned carriers route through the polyphase filterbank:
     # O(T*taps + DFT) instead of O(C*T), and the PFB path streams with
     # hop-aligned overlap-save (bit-exact across the 0.5 s chunk
@@ -216,6 +221,11 @@ def main(argv=None):
                    choices=("python", "native"),
                    help="multi-carrier control plane (--rtltcp): 'native' "
                    "routes all carriers through the C++ executor")
+    p.add_argument("--soft", action="store_true",
+                   help="soft-decision demod + soft Viterbi + tolerant "
+                   "sync (--rtltcp, needs --control-plane native): ~2 dB "
+                   "on weak signals, the counterpart of the reference's "
+                   "feedback demodulator (cqpsk.py) at low SNR")
     args = p.parse_args(argv)
 
     if args.rtltcp:
