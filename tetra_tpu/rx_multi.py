@@ -166,6 +166,11 @@ class MultiCarrierReceiver:
             self._fast = FastChunkPipeline(n_carriers, mesh=mesh,
                                            soft=demod == "soft")
             self._pending = []
+            # chunks kept in flight while streaming (final=False):
+            # depth 1 overlaps chunk k's fetch+walk with chunk k+1's
+            # device compute; deeper queues can hide more host-walk
+            # time behind the h2d link on transfer-bound configs
+            self.pipeline_depth = 1
         else:
             self.sync = MultiSync(n_carriers)
             self._buf = np.zeros((n_carriers, 0), dtype=np.uint8)
@@ -436,7 +441,8 @@ class MultiCarrierReceiver:
         depth one (or fully, when final)."""
         if h is not None:
             self._pending.append(h)
-        while self._pending and (final or len(self._pending) > 1):
+        while self._pending and (final
+                                 or len(self._pending) > self.pipeline_depth):
             self._collect_walk(self._pending.pop(0))
         return [rx.stats for rx in self.carriers]
 
