@@ -550,6 +550,11 @@ def main():
         result["mc_e2e_prod_tl_sdus"] = mcp["tl_sdus"]
         result["mc_e2e_prod_frag_ends"] = mcp["frag_ends"]
         result["mc_e2e_prod_encrypted_carriers"] = mcp["n_encrypted"]
+        # link-normalized form: the prod stage moves 25 kB/s-carrier
+        # over the tunnel, whose bandwidth varies run to run — this
+        # separates rig weather from code changes (cf. ingest keys)
+        result["mc_e2e_prod_carriers_per_h2d_mbps"] = round(
+            mcp["realtime_carriers_e2e"] / link_h2d_mbps, 2)
     except Exception:
         pass
 
