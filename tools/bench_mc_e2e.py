@@ -37,6 +37,30 @@ KEYSTORE = (f"network mcc {MCC} mnc {MNC} ksg_type 1 security_class 2\n"
 HEAD_NOISE = 731
 
 
+def timed_passes(one_pass, reps=3):
+    """Warm until stable, then time: the first warm pass pays compiles,
+    but the NEXT few passes still ramp (~35% measured on this rig —
+    device clocks / allocator / cache effects fade over several
+    passes, so a single warm pass leaves the first e2e stage of a
+    process systematically slow). Warm passes repeat (max 4) until the
+    pass time stops improving by >10%, then `reps` timed passes.
+    Returns (mc, stats, median wall)."""
+    t_prev = None
+    for _ in range(4):
+        t0 = time.perf_counter()
+        mc, stats = one_pass()
+        t = time.perf_counter() - t0
+        if t_prev is not None and t > 0.9 * t_prev:
+            break
+        t_prev = t
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        mc, stats = one_pass()
+        samples.append(time.perf_counter() - t0)
+    return mc, stats, float(np.median(samples))
+
+
 def common_len(n_frames):
     """Shared per-carrier capture length across ALL e2e stages: the
     mixed stream's natural length (the longest fixture: head noise +
@@ -320,16 +344,10 @@ def run(n_car=1024, n_frames=8, n_chunks=4):
                                     final=k == n_chunks - 1)
         return mc, stats
 
-    mc, stats = one_pass()     # warm (compile)
-    # median of 3 timed passes — the same methodology as bench.py's
-    # stages (tunnel jitter is tens of ms per RPC; a single sample
-    # spreads ~10% run to run)
-    samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        mc, stats = one_pass()
-        samples.append(time.perf_counter() - t0)
-    dt = float(np.median(samples))
+    # warm-until-stable + median of 3 timed passes (timed_passes:
+    # tunnel jitter is tens of ms per RPC, and the first passes of a
+    # process ramp ~35% beyond the compile warm)
+    mc, stats, dt = timed_passes(one_pass)
 
     crc_ok = sum(s.crc_ok for s in stats)
     crc_bad = sum(s.crc_wrong for s in stats)
@@ -402,13 +420,7 @@ def run_mixed(n_car=1024, n_frames=16, n_chunks=4, enc_frac=0.1):
                                     final=k == n_chunks - 1)
         return mc, stats
 
-    mc, stats = one_pass()     # warm (compile)
-    samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        mc, stats = one_pass()
-        samples.append(time.perf_counter() - t0)
-    dt = float(np.median(samples))
+    mc, stats, dt = timed_passes(one_pass)
 
     crc_ok = sum(s.crc_ok for s in stats)
     crc_bad = sum(s.crc_wrong for s in stats)
@@ -471,13 +483,8 @@ def _wideband_pass(bits, n_car, n_chunks, keystore=None, snr_db=None,
                                     final=k == n_chunks - 1)
         return mc, stats
 
-    mc, stats = one_pass()     # warm (compile)
-    samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        mc, stats = one_pass()
-        samples.append(time.perf_counter() - t0)
-    return mc, stats, float(np.median(samples)), S
+    mc, stats, dt = timed_passes(one_pass)
+    return mc, stats, dt, S
 
 
 def run_wideband(n_car=1024, n_frames=16, n_chunks=4):
