@@ -94,12 +94,30 @@ class SyncCarry:
 
 
 def compute_match_map(bits, mask: int = 0x1F) -> np.ndarray:
-    """[L, 5] train-sequence exact-match map via one device pass."""
+    """[L, 5] train-sequence exact-match map via one device pass.
+
+    The length is padded up to an 8192-bit bucket before the device
+    call: streaming callers hit this with ARBITRARY chunk lengths, and
+    every distinct length would otherwise compile a fresh XLA program
+    (hundreds over a long session — enough to crash the in-process
+    XLA:CPU compiler on this rig, and pure waste on any backend). The
+    zero pad cannot fabricate matches at valid positions (a match at
+    p <= L - n never reads pad bits); positions whose window would
+    cross the true end are re-masked per template below, so the result
+    is exactly the unpadded map."""
     bits = np.asarray(bits)
-    if bits.shape[-1] < 38:      # shorter than the longest template
+    L = bits.shape[-1]
+    if L < 38:                   # shorter than the longest template
         return np.zeros(bits.shape[-1:] + (5,), bool)
+    Lp = max(64, -(-L // 8192) * 8192)
+    if Lp != L:
+        bits = np.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, Lp - L)])
     m = burst_mod.train_seq_match(jnp.asarray(bits, dtype=jnp.int8), mask)
-    return np.asarray(m)
+    m = np.array(m[..., :L, :])      # writable host copy
+    if Lp != L:
+        for c, n in enumerate(_SEQ_LEN):
+            m[..., L - n + 1:, c] = False
+    return m
 
 
 def align_stream(bits, match: np.ndarray | None = None,

@@ -13,10 +13,19 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
+import os
+
 import numpy as np
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tetra_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+if not (os.environ.get("PYTEST_CURRENT_TEST")
+        or os.environ.get("TETRA_TPU_TESTS")):
+    # bench runs want every compile cached (TPU compiles through the
+    # tunnel cost 30-120 s); the TEST suite must NOT re-enable the
+    # cache when it imports this module — the executable serialization
+    # path segfaults late in a full-suite run (tests/conftest.py)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_cache_tetra_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 
 from tetra_tpu import tx, testpdu
